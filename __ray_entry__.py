@@ -3,14 +3,13 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Pages-table queries run over the deterministic synthetic pages parquet
+(``BASELINE.json: input_hint`` schema) materialized idempotently under
+/tmp/graft_synth; the oracle SQL reads the very same file via
+``read_parquet``, so both sides see identical inputs.  No ``ray.init``
+/ ``ray.shutdown`` here (driver owns the session).
 """
 
 from __future__ import annotations
@@ -18,27 +17,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rios_ray import synth
+from rios_ray.cells import grid_cell_step
+from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+SF001 = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror the Ray stages bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def _pages_sql(sf_dir: str = SF001) -> str:
+    """Parsed pages CTE: url, lang, text, lat, lon from the same parquet."""
+    path = synth.pages_path(sf_dir)
+    return f"""
+        SELECT url, lang, text,
+               CAST(regexp_extract(text, '{_GEO_RE}', 1) AS DOUBLE) AS lat,
+               CAST(regexp_extract(text, '{_GEO_RE}', 2) AS DOUBLE) AS lon
+          FROM read_parquet('{path}')
+    """
+
+
+def _cell_sql(res: int = DEFAULT_GRID_RES) -> str:
+    """Grid-cell expression — identical float64 ops to cells.grid_cell_id."""
+    step = grid_cell_step(res)
+    ny, nx = 1 << res, 2 << res
+    return (
+        f"LEAST(GREATEST(CAST(floor((90.0 - lat) / {step!r}) AS BIGINT), 0), {ny - 1})"
+        f" * {nx}"
+        f" + LEAST(GREATEST(CAST(floor((lon + 180.0) / {step!r}) AS BIGINT), 0), {nx - 1})"
+    )
+
+
+def _pip_pairs_sql(sf_dir: str = SF001) -> str:
+    """(url, lat, lon, poly_id) containment pairs by odd ray-crossing count.
+
+    The crossing predicate is the same float64 expression, in the same
+    order, as PolygonIndex._crossings.
+    """
+    epath = synth.edges_path()
+    return f"""
+        WITH pts AS ({_pages_sql(sf_dir)}),
+        cross_counts AS (
+            SELECT p.url, p.lat, p.lon, e.poly_id, count(*) AS n_cross
+              FROM pts p
+              JOIN read_parquet('{epath}') e
+                ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+               AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+             GROUP BY p.url, p.lat, p.lon, e.poly_id
+        )
+        SELECT url, lat, lon, poly_id FROM cross_counts WHERE n_cross % 2 = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: spatial-join + tiling."""
+    from rios_ray.pipelines.pages import flagship
+
+    return flagship("/root/testdata/sf0.001")
+
+
+def _q_extracted_text(sf_dir: str):
+    from rios_ray.pipelines.pages import geocoded_pages
+
+    return geocoded_pages(sf_dir).select_columns(["url", "extracted_text"])
+
+
+def _q_geocode_cells(sf_dir: str):
+    from rios_ray.pipelines.pages import geocoded_pages
+
+    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "lat", "lon", "cell"])
+
+
+def _q_cell_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from rios_ray.pipelines.pages import geocoded_pages
+
+    ds = geocoded_pages(sf_dir, keep_text=False)
+    return ds.groupby("cell").aggregate(Count(alias_name="n_pages"))
+
+
+def _q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from rios_ray.sources.pages import read_pages
+
+    return read_pages(sf_dir, columns=["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_pip_join_pairs(sf_dir: str):
+    from rios_ray.pipelines.pages import spatial_join
+
+    return spatial_join(sf_dir).select_columns(["url", "poly_id"])
+
+
+def _q_pip_join_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from rios_ray.pipelines.pages import spatial_join
+
+    return spatial_join(sf_dir).groupby(["poly_id", "category"]).aggregate(
+        Count(alias_name="n_pages")
+    )
+
+
+def _q_flagship(sf_dir: str):
+    from rios_ray.pipelines.pages import flagship
+
+    return flagship(sf_dir)
+
+
+def _q_knn(sf_dir: str):
+    from rios_ray.pipelines.pages import knn_pages
+
+    return knn_pages(sf_dir, k=10).select_columns(["qid", "url", "d2", "rank"])
+
+
+def _q_s2_cells(sf_dir: str):
+    from rios_ray.pipelines.pages import geocoded_pages
+
+    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "s2_cell"])
+
+
+def _q_hex_cells(sf_dir: str):
+    from rios_ray.pipelines.pages import geocoded_pages
+
+    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "hex_cell"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # materialize the shared deterministic inputs before any oracle runs
+    synth.ensure_pages(SF001)
+    synth.ensure_pages("/root/testdata/sf0.001")
+    synth.ensure_polygons()
+    synth.ensure_knn_queries()
+    return {
+        "extracted_text": _q_extracted_text,
+        "geocode_cells": _q_geocode_cells,
+        "cell_counts": _q_cell_counts,
+        "lang_counts": _q_lang_counts,
+        "pip_join_pairs": _q_pip_join_pairs,
+        "pip_join_counts": _q_pip_join_counts,
+        "flagship_cell_category": _q_flagship,
+        "knn_pages": _q_knn,
+        "s2_cells": _q_s2_cells,  # rows-only (bit-level cell ids not SQL-expressible)
+        "hex_cells": _q_hex_cells,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ppath = synth.polygons_path()
+    qpath = synth.knn_queries_path()
+    return {
+        "extracted_text": f"""
+            SELECT url, text AS extracted_text
+              FROM read_parquet('{synth.pages_path(SF001)}')
+        """,
+        "geocode_cells": f"""
+            SELECT url, lat, lon, {_cell_sql()} AS cell
+              FROM ({_pages_sql()})
+        """,
+        "cell_counts": f"""
+            SELECT {_cell_sql()} AS cell, count(*) AS n_pages
+              FROM ({_pages_sql()})
+             GROUP BY 1
+        """,
+        "lang_counts": f"""
+            SELECT lang, count(*) AS n
+              FROM read_parquet('{synth.pages_path(SF001)}')
+             GROUP BY lang
+        """,
+        "pip_join_pairs": f"""
+            SELECT url, poly_id FROM ({_pip_pairs_sql()})
+        """,
+        "pip_join_counts": f"""
+            SELECT c.poly_id, p.category, count(*) AS n_pages
+              FROM ({_pip_pairs_sql()}) c
+              JOIN read_parquet('{ppath}') p USING (poly_id)
+             GROUP BY c.poly_id, p.category
+        """,
+        "flagship_cell_category": f"""
+            SELECT {_cell_sql()} AS cell, p.category, count(*) AS n_pages
+              FROM ({_pip_pairs_sql()}) c
+              JOIN read_parquet('{ppath}') p USING (poly_id)
+             GROUP BY 1, 2
+        """,
+        "knn_pages": f"""
+            WITH pts AS ({_pages_sql()}),
+            dists AS (
+                SELECT q.qid, p.url,
+                       (p.lon - q.qlon) * (p.lon - q.qlon)
+                     + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+                  FROM pts p CROSS JOIN read_parquet('{qpath}') q
+            )
+            SELECT qid, url, d2,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, url) AS rank
+              FROM dists
+            QUALIFY rank <= 10
+        """,
+    }

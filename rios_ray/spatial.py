@@ -1,0 +1,244 @@
+"""Broadcast spatial-join primitives: polygon index, point-in-polygon, kNN.
+
+The reference joins vectors to rasters by rasterizing polygons once per
+process (``/root/reference/rios/structures.py:1062-1096`` RasterizationMgr,
+``imagereader.py:195-276``) and comparing per-pixel masks.  Here the
+same shape becomes a **broadcast join**: the polygon layer (small side)
+is indexed once per worker — a grid-bucket bbox index standing in for an
+STRtree (shapely is not in the environment) — and each Arrow batch of
+points is refined with an exact, vectorized ray-casting test.
+
+kNN has no reference counterpart; it reuses the reference's margin/halo
+trick (``applier.py:253-268``: compute with a halo, trim) in key space:
+candidates are gathered from expanding cell rings until the k-th best
+distance is certified by the ring's geometric lower bound.
+
+Float semantics are chosen to be exactly reproducible in the DuckDB
+oracle SQL: the crossing test is
+``((y1 > py) != (y2 > py)) AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1``
+evaluated in float64 in that exact order on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cells
+
+DEFAULT_INDEX_RES = 5  # 5.625-degree buckets for the polygon bbox index
+
+
+class PolygonIndex:
+    """Grid-bucket bbox index over a polygon layer (STRtree substitute).
+
+    Built once per worker from the broadcast polygon table (arrays of
+    closed rings).  ``bucket -> candidate polygon ids`` via each
+    polygon's bbox cells at ``index_res``; candidates are refined with
+    exact ray casting.  Build cost is O(total bbox cells); lookup is
+    O(points x candidate edges) fully vectorized.
+    """
+
+    def __init__(
+        self,
+        poly_ids: np.ndarray,
+        rings: list[np.ndarray],
+        index_res: int = DEFAULT_INDEX_RES,
+    ):
+        self.index_res = index_res
+        self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
+        # flatten ring coordinates into edge arrays, sliced per polygon
+        x1l, y1l, x2l, y2l, eid = [], [], [], [], []
+        self.bbox = np.empty((len(rings), 4), dtype=np.float64)
+        for k, ring in enumerate(rings):
+            ring = np.asarray(ring, dtype=np.float64)
+            x1l.append(ring[:-1, 0])
+            y1l.append(ring[:-1, 1])
+            x2l.append(ring[1:, 0])
+            y2l.append(ring[1:, 1])
+            eid.append(np.full(len(ring) - 1, k, dtype=np.int64))
+            self.bbox[k] = (
+                ring[:, 0].min(),
+                ring[:, 0].max(),
+                ring[:, 1].min(),
+                ring[:, 1].max(),
+            )
+        self.ex1 = np.concatenate(x1l)
+        self.ey1 = np.concatenate(y1l)
+        self.ex2 = np.concatenate(x2l)
+        self.ey2 = np.concatenate(y2l)
+        self.epoly = np.concatenate(eid)  # local polygon index per edge
+        # bucket -> local polygon index list
+        self.buckets: dict[int, np.ndarray] = {}
+        tmp: dict[int, list[int]] = {}
+        for k in range(len(rings)):
+            for cid in cells.grid_cells_in_bbox(*self.bbox[k], index_res):
+                tmp.setdefault(int(cid), []).append(k)
+        self.buckets = {c: np.array(v, dtype=np.int64) for c, v in tmp.items()}
+
+    @classmethod
+    def from_arrow(cls, polys, index_res: int = DEFAULT_INDEX_RES) -> "PolygonIndex":
+        """Build from the polygon Arrow table (poly_id, ring_xy, ...)."""
+        ids = polys["poly_id"].to_numpy(zero_copy_only=False)
+        rings = [np.asarray(r, dtype=np.float64) for r in polys["ring_xy"].to_pylist()]
+        return cls(ids, rings, index_res)
+
+    # -- exact refine ------------------------------------------------------
+    def _crossings(self, px: np.ndarray, py: np.ndarray, edge_sel: np.ndarray) -> np.ndarray:
+        """Ray-cast crossing counts: points x selected edges -> (n, n_edges) bool."""
+        x1 = self.ex1[edge_sel][None, :]
+        y1 = self.ey1[edge_sel][None, :]
+        x2 = self.ex2[edge_sel][None, :]
+        y2 = self.ey2[edge_sel][None, :]
+        pyc = py[:, None]
+        pxc = px[:, None]
+        straddle = (y1 > pyc) != (y2 > pyc)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (pyc - y1) / (y2 - y1) + x1
+        return straddle & (pxc < xint)
+
+    def contains(self, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_index, poly_id) containment pairs for a point batch.
+
+        Returns two int64 arrays (row index into the input batch, polygon
+        id).  A point inside k polygons yields k pairs — inner-join
+        semantics, matching the oracle SQL's odd-crossings GROUP BY.
+        """
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        cell = cells.grid_cell_id(lon, lat, self.index_res)
+        out_rows: list[np.ndarray] = []
+        out_polys: list[np.ndarray] = []
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cs)]])
+        for s, e in zip(starts, ends):
+            cand = self.buckets.get(int(cs[s]))
+            if cand is None:
+                continue
+            idx = order[s:e]
+            px, py = lon[idx], lat[idx]
+            # bbox prefilter per candidate polygon
+            bb = self.bbox[cand]
+            for ci, k in enumerate(cand):
+                m = (
+                    (px >= bb[ci, 0])
+                    & (px <= bb[ci, 1])
+                    & (py >= bb[ci, 2])
+                    & (py <= bb[ci, 3])
+                )
+                if not m.any():
+                    continue
+                esel = np.flatnonzero(self.epoly == k)
+                crossings = self._crossings(px[m], py[m], esel).sum(axis=1)
+                inside = (crossings % 2) == 1
+                if inside.any():
+                    out_rows.append(idx[m][inside])
+                    out_polys.append(np.full(inside.sum(), self.poly_ids[k], dtype=np.int64))
+        if not out_rows:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_rows), np.concatenate(out_polys)
+
+
+def pip_contains_oracle(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Independent brute-force PIP (winding-free crossing count over ALL
+    polygons, no index) — test oracle for :class:`PolygonIndex`.
+    Returns an (n_points, n_polys) bool matrix."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.zeros((len(px), len(rings)), dtype=bool)
+    for k, ring in enumerate(rings):
+        ring = np.asarray(ring, dtype=np.float64)
+        x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+        x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+        straddle = (y1 > py[:, None]) != (y2 > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py[:, None] - y1) / (y2 - y1) + x1
+        out[:, k] = (straddle & (px[:, None] < xint)).sum(axis=1) % 2 == 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# kNN via expanding cell rings + exact refine
+# ---------------------------------------------------------------------------
+
+
+class CellPointIndex:
+    """cell id -> point rows, for ring-expanding kNN candidate generation.
+
+    Built once (per worker for broadcast kNN, or on the driver for the
+    small query side).  Distances are plain Euclidean in degrees —
+    deterministic and matched exactly by the oracle SQL expression
+    ``(lon-qlon)*(lon-qlon) + (lat-qlat)*(lat-qlat)``.
+    """
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, res: int, payload: np.ndarray | None = None):
+        self.res = res
+        self.lon = np.asarray(lon, dtype=np.float64)
+        self.lat = np.asarray(lat, dtype=np.float64)
+        self.payload = payload if payload is not None else np.arange(len(self.lon))
+        cell = cells.grid_cell_id(self.lon, self.lat, res)
+        order = np.argsort(cell, kind="stable")
+        self.order = order
+        cs = cell[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        self.cell_starts = {
+            int(cs[s]): (int(s), int(e))
+            for s, e in zip(starts, np.concatenate([bounds, [len(cs)]]).astype(np.int64))
+        }
+
+    def rows_in_cells(self, cell_ids: np.ndarray) -> np.ndarray:
+        """Row indices (into the original arrays) for a set of cells."""
+        chunks = []
+        for c in cell_ids:
+            se = self.cell_starts.get(int(c))
+            if se is not None:
+                chunks.append(self.order[se[0] : se[1]])
+        if not chunks:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(chunks)
+
+    def knn(self, qlon: float, qlat: float, k: int, max_ring: int = 64) -> tuple[np.ndarray, np.ndarray]:
+        """Exact k nearest points to (qlon, qlat).
+
+        Expands Chebyshev cell rings; stops when the k-th best squared
+        distance is <= the squared geometric lower bound of the next
+        unexplored ring (``(ring) * step`` degrees), which certifies
+        exactness.  Ties broken by (distance, payload) ascending for
+        determinism — the oracle orders by the same pair.
+        """
+        step = cells.grid_cell_step(self.res)
+        center = int(cells.grid_cell_id(np.array([qlon]), np.array([qlat]), self.res)[0])
+        cand_rows: list[np.ndarray] = []
+        n_cand = 0
+        ring = 0
+        best: tuple[np.ndarray, np.ndarray] | None = None  # (d2 sorted, payload sorted)
+        while ring <= max_ring:
+            rows = self.rows_in_cells(cells.grid_cell_ring(center, self.res, ring))
+            if len(rows):
+                cand_rows.append(rows)
+                n_cand += len(rows)
+            # certification: once we have k candidates, the next ring's
+            # points are at least (ring) * step away from q (the current
+            # ring's outer boundary), so stop when kth_d2 <= that bound².
+            if n_cand >= k:
+                allr = np.concatenate(cand_rows)
+                dx = self.lon[allr] - qlon
+                dy = self.lat[allr] - qlat
+                d2 = dx * dx + dy * dy
+                sel = np.lexsort((self.payload[allr], d2))[:k]
+                kth = d2[sel[-1]]
+                bound = ring * step
+                # strict < so an equidistant point in the next ring can
+                # never be missed (ties then resolve by payload order)
+                if kth < bound * bound:
+                    return d2[sel], self.payload[allr][sel]
+                best = (d2[sel], self.payload[allr][sel])
+            ring += 1
+        if best is not None:
+            return best
+        return np.empty(0), np.empty(0, dtype=self.payload.dtype)

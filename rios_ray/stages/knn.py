@@ -1,0 +1,75 @@
+"""kNN as partial-top-k map_batches + tiny final merge (no big shuffle).
+
+Semantics: for each of Q broadcast query points, the k nearest pages by
+squared Euclidean degree distance, ties broken by (distance, url).
+
+Scale shape: each batch emits at most Q*k candidate rows (its local
+top-k per query), so the final ``groupby(qid)`` merge sees
+Q * k * n_batches rows — independent of input size.  This is the
+pre-aggregate-before-shuffle rule applied to top-k.  The alternative
+scale path (per-worker cell-ring search over a co-partitioned index) is
+:class:`rios_ray.spatial.CellPointIndex`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class KnnPartialStage:
+    """Stateless-ish batch stage holding the broadcast query matrix."""
+
+    def __init__(self, queries, k: int = 10):
+        import ray
+
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        if isinstance(queries, pa.Table):
+            self.qid = queries["qid"].to_numpy(zero_copy_only=False)
+            self.qlon = queries["qlon"].to_numpy(zero_copy_only=False)
+            self.qlat = queries["qlat"].to_numpy(zero_copy_only=False)
+        else:
+            self.qid, self.qlon, self.qlat = queries
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        url = np.asarray(batch["url"].to_pylist(), dtype=object)
+        # (n, Q) distance matrix — identical float expression to the SQL
+        # oracle: (lon-qlon)*(lon-qlon) + (lat-qlat)*(lat-qlat)
+        dlon = lon[:, None] - self.qlon[None, :]
+        dlat = lat[:, None] - self.qlat[None, :]
+        d2 = dlon * dlon + dlat * dlat
+        k = min(self.k, len(lon))
+        out_qid, out_url, out_d2 = [], [], []
+        for j in range(len(self.qid)):
+            col = d2[:, j]
+            if k < len(col):
+                cand = np.argpartition(col, k - 1)[:k]
+            else:
+                cand = np.arange(len(col))
+            out_qid.append(np.full(len(cand), self.qid[j], dtype=np.int64))
+            out_url.append(url[cand])
+            out_d2.append(col[cand])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_qid)),
+                "url": pa.array(np.concatenate(out_url), type=pa.string()),
+                "d2": pa.array(np.concatenate(out_d2), type=pa.float64()),
+            }
+        )
+
+
+def knn_final_merge(k: int):
+    """Per-qid final reduce: exact top-k with (d2, url) tie-break."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2", "url"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge

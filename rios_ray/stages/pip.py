@@ -1,0 +1,63 @@
+"""Point-in-polygon broadcast join as an actor-pool stage.
+
+The reference rasterizes each vector layer exactly once per process via
+``RasterizationMgr`` double-checked locking
+(``/root/reference/rios/structures.py:1062-1096``); the Ray-native
+equivalent is an actor pool: the polygon index is built ONCE per actor
+in ``__init__`` (from a ``ray.put`` broadcast ref or a parquet path) and
+every ``__call__`` refines a zero-copy Arrow batch.  No shuffle: the
+small side travels once per actor, not once per batch.
+
+Use with::
+
+    polys_ref = ray.put(pyarrow.parquet.read_table(path))
+    ds.map_batches(PIPJoinStage, fn_constructor_kwargs={"polygons": polys_ref},
+                   batch_format="pyarrow", concurrency=N)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..spatial import DEFAULT_INDEX_RES, PolygonIndex
+
+
+class PIPJoinStage:
+    """Inner point-in-polygon join: emits one output row per (point,
+    containing polygon) pair, appending poly_id / category / burn_value."""
+
+    def __init__(
+        self,
+        polygons,
+        index_res: int = DEFAULT_INDEX_RES,
+        keep_cols: list[str] | None = None,
+    ):
+        import ray
+
+        if isinstance(polygons, ray.ObjectRef):
+            polys = ray.get(polygons)
+        elif isinstance(polygons, str):
+            polys = pq.read_table(polygons)
+        else:
+            polys = polygons
+        self.index = PolygonIndex.from_arrow(polys, index_res)
+        ids = polys["poly_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        self._ids_sorted = ids[order]
+        self._cat_sorted = np.asarray(polys["category"].to_pylist(), dtype=object)[order]
+        self._burn_sorted = polys["burn_value"].to_numpy(zero_copy_only=False).astype(np.int32)[order]
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        rows, polys = self.index.contains(lon, lat)
+        cols = self.keep_cols or [c for c in batch.column_names]
+        out = batch.select(cols).take(pa.array(rows))
+        pos = np.searchsorted(self._ids_sorted, polys)
+        out = out.append_column("poly_id", pa.array(polys, type=pa.int64()))
+        out = out.append_column("category", pa.array(self._cat_sorted[pos], type=pa.string()))
+        out = out.append_column("burn_value", pa.array(self._burn_sorted[pos], type=pa.int32()))
+        return out
