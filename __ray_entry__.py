@@ -37,7 +37,7 @@ def _pages_sql(sf_dir: str = SF001) -> str:
         SELECT url, lang, text,
                CAST(regexp_extract(text, '{_GEO_RE}', 1) AS DOUBLE) AS lat,
                CAST(regexp_extract(text, '{_GEO_RE}', 2) AS DOUBLE) AS lon
-          FROM read_parquet('{path}')
+          FROM read_parquet('{path}/*.parquet')
     """
 
 
@@ -98,20 +98,18 @@ def _q_geocode_cells(sf_dir: str):
 
 
 def _q_cell_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from rios_ray.functions.agg import grouped_count
     from rios_ray.pipelines.pages import geocoded_pages
 
     ds = geocoded_pages(sf_dir, keep_text=False)
-    return ds.groupby("cell").aggregate(Count(alias_name="n_pages"))
+    return grouped_count(ds, ["cell"], alias="n_pages")
 
 
 def _q_lang_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from rios_ray.functions.agg import grouped_count
     from rios_ray.sources.pages import read_pages
 
-    return read_pages(sf_dir, columns=["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    return grouped_count(read_pages(sf_dir, columns=["lang"]), ["lang"], alias="n")
 
 
 def _q_pip_join_pairs(sf_dir: str):
@@ -180,7 +178,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extracted_text": f"""
             SELECT url, text AS extracted_text
-              FROM read_parquet('{synth.pages_path(SF001)}')
+              FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
         """,
         "geocode_cells": f"""
             SELECT url, lat, lon, {_cell_sql()} AS cell
@@ -193,7 +191,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_counts": f"""
             SELECT lang, count(*) AS n
-              FROM read_parquet('{synth.pages_path(SF001)}')
+              FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
              GROUP BY lang
         """,
         "pip_join_pairs": f"""

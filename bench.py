@@ -1,0 +1,127 @@
+"""Headline benchmark: spatial-join + H3-style tiling throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "pages_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports both throughputs plus
+scaling efficiency (sandbox proxy for the N vs 4N cluster criterion —
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from rios_ray import synth
+    from rios_ray.pipelines.pages import flagship, geocoded_pages, knn_pages, spatial_join
+
+    # fixture generation + OS page-cache warm-up are NOT part of the measurement
+    path = synth.ensure_pages(sf_dir)
+    synth.ensure_polygons()
+    synth.ensure_knn_queries()
+    import glob
+
+    for shard in glob.glob(os.path.join(path, "*.parquet")):
+        with open(shard, "rb") as f:
+            while f.read(1 << 24):
+                pass
+    n_pages = synth.n_pages_for(sf_dir)
+
+    # untimed warm-up: spin up the worker pool + object store so the
+    # first timed query measures the pipeline, not cluster start-up
+    import ray.data as rd
+
+    rd.read_parquet(path, columns=["lang"]).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("geocode_cells", lambda: geocoded_pages(sf_dir, keep_text=False).count())
+    timed("spatial_join", lambda: spatial_join(sf_dir).count())
+    timed("flagship", lambda: flagship(sf_dir).to_pandas())
+    timed("knn_pages", lambda: knn_pages(sf_dir, k=10).count())
+
+    headline = timings["flagship"]
+    result = {
+        "metric": "spatial-join + tiling flagship wall time",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": synth.sf_from_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes, 8 vs 32 CPUs (N vs 4N proxy)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["pages_per_sec"]
+    tput_hi = hi["pages_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes)",
+        "pages_per_sec_8": tput_lo,
+        "pages_per_sec_32": tput_hi,
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

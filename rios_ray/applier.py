@@ -1,0 +1,516 @@
+"""The applier: RIOS's block-model ``apply()`` re-expressed on Ray Data.
+
+Reference surface: ``rios.applier.apply`` (``/root/reference/rios/
+applier.py:861-955``) — a user function ``user_fn(info, inputs,
+outputs[, other_args])`` runs once per block of a working grid, with
+multi-input alignment, margin/overlap halos, nodata fill, margin-trimmed
+writes, and optional single-pass stats.
+
+Ray-Data-first design (no port of the reference's thread/process
+machinery — its BlockBuffer/ComputeWorkerManager concurrency collapses
+into the streaming executor):
+
+1. **Plan (driver, pure python)**: probe input grids, resolve the
+   working grid by footprint rule (``applier.py:1226-1283`` +
+   ``pixelgrid.py:415-444``), derive block decomposition
+   (``applier.py:1308-1326``).  No cluster work.
+2. **Fragment (map_batches, per input)**: each tile row of each input
+   is sliced into fragments addressed to every working-grid block whose
+   margin-padded window it overlaps — the margin is satisfied by
+   *over-emitting* rows to neighbouring blocks (the keyed equivalent of
+   RIOS reading halos straight from files, ``applier.py:253-268``).
+3. **Assemble + user function (groupby(block).map_groups)**: fragments
+   of one block gather (the J1 multi-input alignment join,
+   ``structures.py:587-616``), missing regions are nodata-filled
+   (``imagereader.py:102-121``), the user function runs on dense
+   ``(bands, ys+2m, xs+2m)`` arrays, outputs are margin-trimmed
+   (``imagewriter.py:44-47``) and emitted as tile rows.
+4. **Write (one pass)**: all outputs stream to parquet partitioned by
+   output name; per-block ``other_args`` copies ride along as a side
+   partition and are returned for user-side merging (the ST5 contract,
+   ``applier.py:1182-1192``).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+
+from ray import cloudpickle as pickle
+from dataclasses import dataclass, field
+from types import SimpleNamespace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .gridmodel import (
+    DEFAULT_BLOCK_XSIZE,
+    DEFAULT_BLOCK_YSIZE,
+    DEFAULT_OVERLAP,
+    INTERSECTION,
+    BlockDefn,
+    PixelGrid,
+    find_common_region,
+)
+from .sources.tileraster import TileRasterInfo, write_tile_raster
+
+OTHERARGS_NAME = "__otherargs__"
+
+
+class ResampleNeededError(ValueError):
+    """Inputs not aligned with the reference grid and no resampling
+    requested (reference ``applier.py:1268-1272``)."""
+
+
+@dataclass
+class ApplierControls:
+    """Engine config (the essential subset of the reference's ~40
+    setters, ``applier.py:59-858``), with the same setter names."""
+
+    window_xsize: int = DEFAULT_BLOCK_XSIZE
+    window_ysize: int = DEFAULT_BLOCK_YSIZE
+    overlap: int = DEFAULT_OVERLAP
+    footprint: int = INTERSECTION
+    reference: str | None = None  # symbolic name of the reference input
+    ref_pixgrid: PixelGrid | None = None
+    selected_layers: dict = field(default_factory=dict)  # name -> [band,...]
+    stats_ignore: dict = field(default_factory=dict)  # out name -> nullval
+    calc_stats: bool = True
+    thematic: dict = field(default_factory=dict)  # out name -> bool
+
+    def setWindowXsize(self, n):
+        self.window_xsize = n
+
+    def setWindowYsize(self, n):
+        self.window_ysize = n
+
+    def setOverlap(self, n):
+        self.overlap = n
+
+    def setFootprintType(self, fp):
+        self.footprint = fp
+
+    def setReference(self, name):
+        self.reference = name
+
+    def setReferencePixgrid(self, grid):
+        self.ref_pixgrid = grid
+
+    def selectInputImageLayers(self, layers, imagename):
+        """Layer numbers are 1-based, following the reference's GDAL
+        convention (``applier.py:730-743``); selected layers are
+        renumbered 1..n in the reduced set."""
+        self.selected_layers[imagename] = [int(l) - 1 for l in layers]
+
+    def setStatsIgnore(self, val, imagename):
+        self.stats_ignore[imagename] = val
+
+    def setCalcStats(self, flag):
+        self.calc_stats = flag
+
+    def setThematic(self, flag, imagename):
+        self.thematic[imagename] = flag
+
+
+class ReaderInfo:
+    """Per-block metadata given to the user function (reference
+    ``readerinfo.py:94-400``)."""
+
+    def __init__(self, working_grid: PixelGrid, block: BlockDefn, overlap: int,
+                 xtotalblocks: int, ytotalblocks: int, block_xsize: int, block_ysize: int):
+        self.working_grid = working_grid
+        self.block = block
+        self.overlap = overlap
+        self.xtotalblocks = xtotalblocks
+        self.ytotalblocks = ytotalblocks
+        self.xblock = block.left // block_xsize
+        self.yblock = block.top // block_ysize
+
+    def getBlockSize(self):
+        return (self.block.ncols, self.block.nrows)
+
+    def getPixelSize(self):
+        return (self.working_grid.x_res, self.working_grid.y_res)
+
+    def getBlockBounds(self):
+        return self.working_grid.block_bounds(self.block)
+
+    def getBlockCoordArrays(self):
+        """Pixel-centre world coordinates incl. the margin, matching the
+        reference formula (``readerinfo.py:234-258``)."""
+        g = self.working_grid
+        ncols = self.block.ncols + 2 * self.overlap
+        nrows = self.block.nrows + 2 * self.overlap
+        tlx = g.x_min + self.block.left * g.x_res
+        tly = g.y_max - self.block.top * g.y_res
+        row_ndx, col_ndx = np.mgrid[0:nrows, 0:ncols]
+        x = tlx - self.overlap * g.x_res + g.x_res / 2.0 + col_ndx * g.x_res
+        y = tly + self.overlap * g.y_res - g.y_res / 2.0 - row_ndx * g.y_res
+        return (x, y)
+
+    def isFirstBlock(self):
+        return self.xblock == 0 and self.yblock == 0
+
+    def isLastBlock(self):
+        return (
+            self.xblock == self.xtotalblocks - 1 and self.yblock == self.ytotalblocks - 1
+        )
+
+
+@dataclass
+class ApplierReturn:
+    working_grid: PixelGrid
+    other_args_list: list
+    out_infos: dict
+    n_blocks: int
+
+
+FRAGMENT_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("name", pa.string()),
+        ("band", pa.int32()),
+        ("dst_top", pa.int32()),
+        ("dst_left", pa.int32()),
+        ("frows", pa.int32()),
+        ("fcols", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("tile_y", pa.int32()),
+        ("tile_x", pa.int32()),
+        ("top", pa.int32()),
+        ("left", pa.int32()),
+        ("nrows", pa.int32()),
+        ("ncols", pa.int32()),
+        ("band", pa.int32()),
+        ("dtype", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+def _block_geom(block_id: int, wg_nrows: int, wg_ncols: int, B_y: int, B_x: int):
+    nbx = -(-wg_ncols // B_x)
+    br, bc = divmod(block_id, nbx)
+    top, left = br * B_y, bc * B_x
+    return top, left, min(B_y, wg_nrows - top), min(B_x, wg_ncols - left)
+
+
+def make_fragment_fn(name: str, dtype, off_y: int, off_x: int, wg_nrows: int,
+                     wg_ncols: int, B_y: int, B_x: int, margin: int,
+                     selected: list[int] | None = None):
+    """Tile rows -> margin-aware fragments addressed to working blocks."""
+    dtype = np.dtype(dtype)
+    nbx = -(-wg_ncols // B_x)
+    nby = -(-wg_nrows // B_y)
+
+    def fragment(batch: pa.Table) -> pa.Table:
+        col = batch["data"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        tops = batch["top"].to_numpy(zero_copy_only=False)
+        lefts = batch["left"].to_numpy(zero_copy_only=False)
+        nrs = batch["nrows"].to_numpy(zero_copy_only=False)
+        ncs = batch["ncols"].to_numpy(zero_copy_only=False)
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        rows = []
+        for i in range(batch.num_rows):
+            band = int(bands[i])
+            if selected is not None:
+                if band not in selected:
+                    continue
+                out_band = selected.index(band)
+            else:
+                out_band = band
+            nr, nc = int(nrs[i]), int(ncs[i])
+            arr = flat[offsets[i] : offsets[i + 1]].reshape(nr, nc)
+            wr0, wc0 = int(tops[i]) + off_y, int(lefts[i]) + off_x
+            wr1, wc1 = wr0 + nr, wc0 + nc
+            br_lo = max(0, (wr0 - margin - B_y + 1) // B_y)
+            br_hi = min(nby - 1, (wr1 - 1 + margin) // B_y)
+            bc_lo = max(0, (wc0 - margin - B_x + 1) // B_x)
+            bc_hi = min(nbx - 1, (wc1 - 1 + margin) // B_x)
+            for br in range(br_lo, br_hi + 1):
+                bt = br * B_y
+                ys = min(B_y, wg_nrows - bt)
+                r0 = max(wr0, bt - margin)
+                r1 = min(wr1, bt + ys + margin)
+                if r0 >= r1:
+                    continue
+                for bc in range(bc_lo, bc_hi + 1):
+                    bl = bc * B_x
+                    xs = min(B_x, wg_ncols - bl)
+                    c0 = max(wc0, bl - margin)
+                    c1 = min(wc1, bl + xs + margin)
+                    if c0 >= c1:
+                        continue
+                    sub = arr[r0 - wr0 : r1 - wr0, c0 - wc0 : c1 - wc0]
+                    rows.append(
+                        {
+                            "block_id": br * nbx + bc,
+                            "name": name,
+                            "band": out_band,
+                            "dst_top": r0 - (bt - margin),
+                            "dst_left": c0 - (bl - margin),
+                            "frows": r1 - r0,
+                            "fcols": c1 - c0,
+                            "payload": np.ascontiguousarray(sub).tobytes(),
+                        }
+                    )
+        return pa.Table.from_pylist(rows, schema=FRAGMENT_SCHEMA)
+
+    return fragment
+
+
+def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: int,
+                     margin: int, other_args=None):
+    """groupby(block_id).map_groups body: align inputs, nodata-fill, run
+    the user function, margin-trim outputs."""
+    wg_nrows, wg_ncols = wg.dimensions()
+    nbx = -(-wg_ncols // B_x)
+    nby = -(-wg_nrows // B_y)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        block_id = int(group["block_id"][0].as_py())
+        top, left, ys, xs = _block_geom(block_id, wg_nrows, wg_ncols, B_y, B_x)
+        block = BlockDefn(top, left, ys, xs)
+        inputs = SimpleNamespace()
+        for name, meta in input_meta.items():
+            fill = meta["nullval"] if meta["nullval"] is not None else 0
+            arr = np.full(
+                (meta["nbands"], ys + 2 * margin, xs + 2 * margin),
+                fill,
+                dtype=np.dtype(meta["dtype"]),
+            )
+            setattr(inputs, name, arr)
+        names = group["name"].to_pylist()
+        bands = group["band"].to_numpy(zero_copy_only=False)
+        d_tops = group["dst_top"].to_numpy(zero_copy_only=False)
+        d_lefts = group["dst_left"].to_numpy(zero_copy_only=False)
+        frows = group["frows"].to_numpy(zero_copy_only=False)
+        fcols = group["fcols"].to_numpy(zero_copy_only=False)
+        payloads = group["payload"]
+        for i in range(group.num_rows):
+            meta = input_meta[names[i]]
+            sub = np.frombuffer(
+                payloads[i].as_py(), dtype=np.dtype(meta["dtype"])
+            ).reshape(int(frows[i]), int(fcols[i]))
+            arr = getattr(inputs, names[i])
+            arr[
+                int(bands[i]),
+                int(d_tops[i]) : int(d_tops[i]) + int(frows[i]),
+                int(d_lefts[i]) : int(d_lefts[i]) + int(fcols[i]),
+            ] = sub
+
+        info = ReaderInfo(wg, block, margin, nbx, nby, B_x, B_y)
+        outputs = SimpleNamespace()
+        oa = copy.deepcopy(other_args) if other_args is not None else None
+        if oa is not None:
+            user_fn(info, inputs, outputs, oa)
+        else:
+            user_fn(info, inputs, outputs)
+
+        out_rows = []
+        for name, arr in vars(outputs).items():
+            arr = np.asarray(arr)
+            if arr.ndim == 2:
+                arr = arr[None, :, :]
+            if margin:
+                arr = arr[:, margin:-margin or None, margin:-margin or None]
+            for b in range(arr.shape[0]):
+                out_rows.append(
+                    {
+                        "name": name,
+                        "tile_y": top // B_y,
+                        "tile_x": left // B_x,
+                        "top": top,
+                        "left": left,
+                        "nrows": ys,
+                        "ncols": xs,
+                        "band": b,
+                        "dtype": str(arr.dtype),
+                        "payload": np.ascontiguousarray(arr[b]).tobytes(),
+                    }
+                )
+        if oa is not None:
+            out_rows.append(
+                {
+                    "name": OTHERARGS_NAME,
+                    "tile_y": top // B_y,
+                    "tile_x": left // B_x,
+                    "top": top,
+                    "left": left,
+                    "nrows": ys,
+                    "ncols": xs,
+                    "band": -1,
+                    "dtype": "object",
+                    "payload": pickle.dumps(oa),
+                }
+            )
+        return pa.Table.from_pylist(out_rows, schema=OUT_SCHEMA)
+
+    return assemble
+
+
+def _resolve_input(spec):
+    """Accept TileRasterInfo, path, or (table, TileRasterInfo-like)."""
+    if isinstance(spec, TileRasterInfo):
+        return spec
+    if isinstance(spec, str):
+        return TileRasterInfo.read(spec)
+    raise TypeError(f"unsupported input spec {type(spec)}")
+
+
+def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
+          controls: ApplierControls | None = None, out_dir: str | None = None) -> ApplierReturn:
+    """Run ``user_fn`` over every block of the working grid.
+
+    ``infiles``: symbolic name -> TileRasterInfo or tile-raster path.
+    ``outfiles``: symbolic name -> output parquet path.
+    Returns ApplierReturn with per-block other_args copies (user merges,
+    same contract as reference ``applier.py:1182-1192``).
+    """
+    import ray.data
+
+    controls = controls or ApplierControls()
+    inputs = {name: _resolve_input(spec) for name, spec in infiles.items()}
+
+    # ---- plan (driver) ----
+    grids = [ti.grid for ti in inputs.values()]
+    if controls.ref_pixgrid is not None:
+        ref = controls.ref_pixgrid
+    elif controls.reference is not None:
+        ref = inputs[controls.reference].grid
+    else:
+        ref = grids[0]
+        for g in grids[1:]:
+            if not ref.aligned_with(g):
+                raise ResampleNeededError(
+                    "input grids not aligned and no reference set"
+                )
+    wg = find_common_region(grids, ref, controls.footprint)
+    wg_nrows, wg_ncols = wg.dimensions()
+    B_y, B_x = controls.window_ysize, controls.window_xsize
+    m = controls.overlap
+    nbx = -(-wg_ncols // B_x)
+    nby = -(-wg_nrows // B_y)
+
+    # ---- fragment each input ----
+    frag_ds = None
+    input_meta = {}
+    for name, ti in inputs.items():
+        selected = controls.selected_layers.get(name)
+        nbands = len(selected) if selected else ti.nbands
+        input_meta[name] = {
+            "nbands": nbands,
+            "dtype": ti.dtype,
+            "nullval": ti.nullval,
+        }
+        # input pixel (r, c) lands at working pixel (r + off_y, c + off_x):
+        # y = in.y_max - r*res  =>  working row = (wg.y_max - y)/res
+        off_y = int(round((wg.y_max - ti.grid.y_max) / wg.y_res))
+        off_x = int(round((ti.grid.x_min - wg.x_min) / wg.x_res))
+        ds = ray.data.read_parquet(ti.path)
+        f = ds.map_batches(
+            make_fragment_fn(
+                name, ti.dtype, off_y, off_x, wg_nrows, wg_ncols, B_y, B_x, m, selected
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        frag_ds = f if frag_ds is None else frag_ds.union(f)
+
+    # ---- assemble + user fn + margin trim ----
+    out_ds = frag_ds.groupby("block_id").map_groups(
+        make_assemble_fn(user_fn, input_meta, wg, B_y, B_x, m, other_args),
+        batch_format="pyarrow",
+    )
+
+    # ---- write all outputs in one pass, partitioned by name ----
+    if out_dir is None:
+        out_dir = os.path.commonpath(list(outfiles.values())) if len(outfiles) > 1 else (
+            os.path.dirname(next(iter(outfiles.values()))) or "."
+        )
+    scratch = os.path.join(out_dir, "_applier_run")
+    out_ds.write_parquet(scratch, partition_cols=["name"])
+
+    # ---- finalize: per-output manifest + optional stats; other_args ----
+    other_args_list = []
+    oa_dir = os.path.join(scratch, f"name={OTHERARGS_NAME}")
+    if os.path.isdir(oa_dir):
+        t = pq.read_table(oa_dir, columns=["payload"])
+        other_args_list = [pickle.loads(b.as_py()) for b in t["payload"]]
+
+    out_infos = {}
+    for name, path in outfiles.items():
+        part = os.path.join(scratch, f"name={name}")
+        t = pq.read_table(part)
+        dtype = t["dtype"][0].as_py()
+        nbands = int(pa.compute.max(t["band"]).as_py()) + 1
+        # convert binary payloads -> list<T> tile table (canonical format)
+        pa_dtype = pa.from_numpy_dtype(np.dtype(dtype))
+        flat = np.frombuffer(b"".join(p.as_py() for p in t["payload"]), dtype=np.dtype(dtype))
+        lengths = (
+            t["nrows"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * t["ncols"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        offs = np.concatenate([[0], np.cumsum(lengths)])
+        data = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat, type=pa_dtype))
+        tile_table = pa.table(
+            {
+                "tile_y": t["tile_y"],
+                "tile_x": t["tile_x"],
+                "top": t["top"],
+                "left": t["left"],
+                "nrows": t["nrows"],
+                "ncols": t["ncols"],
+                "band": t["band"],
+                "data": data,
+            }
+        )
+        stats = None
+        if controls.calc_stats:
+            from .stats import StatsAccumulator
+
+            nullval = controls.stats_ignore.get(name)
+            thematic = controls.thematic.get(name, False)
+            acc_by_band: dict[int, StatsAccumulator] = {}
+            bands_np = t["band"].to_numpy(zero_copy_only=False)
+            for i in range(t.num_rows):
+                arr = np.frombuffer(t["payload"][i].as_py(), dtype=np.dtype(dtype))
+                acc = acc_by_band.setdefault(
+                    int(bands_np[i]), StatsAccumulator(nullval, thematic, np.dtype(dtype))
+                )
+                acc.accum_stats(arr)
+                if np.dtype(dtype).kind in "iu":
+                    acc.accum_hist(arr)
+            stats = {}
+            for b, acc in sorted(acc_by_band.items()):
+                mn, mx, mean, std = acc.final_stats()
+                stats[str(b)] = {
+                    "min": None if mn is None else float(mn),
+                    "max": None if mx is None else float(mx),
+                    "mean": mean,
+                    "stddev": std,
+                    "count": acc.count,
+                }
+        out_infos[name] = write_tile_raster(
+            path,
+            tile_table,
+            wg,
+            nbands,
+            dtype,
+            nullval=controls.stats_ignore.get(name),
+            thematic=controls.thematic.get(name, False),
+            stats=stats,
+        )
+
+    return ApplierReturn(wg, other_args_list, out_infos, nbx * nby)

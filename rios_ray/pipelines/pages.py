@@ -28,6 +28,11 @@ from ..stages.pip import PIPJoinStage
 
 GEO_COLS = ["url", "warc_ts", "lang", "extracted_text", "lat", "lon"]
 
+# Rows per batch for the vectorized stages: large enough that pyarrow /
+# numpy kernel launch overhead amortizes, small enough that a batch x
+# concurrency stays well inside worker heaps (a geocoded row is ~300 B).
+BATCH_SIZE = 16384
+
 
 def geocoded_pages(
     sf_dir: str,
@@ -38,8 +43,10 @@ def geocoded_pages(
 ) -> ray.data.Dataset:
     """pages -> extract_text (from html, byte-identical) -> geocode -> cells."""
     ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"])
-    ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(geocode, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=BATCH_SIZE)
+    ds = ds.map_batches(geocode, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=BATCH_SIZE)
     # html served its purpose; drop the heavy binary column before any shuffle
     cols = GEO_COLS if keep_text else [c for c in GEO_COLS if c != "extracted_text"]
     ds = ds.select_columns(cols)
@@ -47,6 +54,7 @@ def geocoded_pages(
         lambda b: assign_cells(b, grid_res, s2_level, hex_res),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
     )
 
 
@@ -60,6 +68,7 @@ def spatial_join(sf_dir: str, concurrency=(1, 8), **geo_kwargs) -> ray.data.Data
         fn_constructor_kwargs={"polygons": polys_ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
         concurrency=concurrency,
     )
 
@@ -67,11 +76,13 @@ def spatial_join(sf_dir: str, concurrency=(1, 8), **geo_kwargs) -> ray.data.Data
 def flagship(sf_dir: str) -> ray.data.Dataset:
     """Spatial-join + tiling headline: per-(cell, category) page counts.
 
-    The groupby runs over pre-joined rows keyed by the same cell id used
-    for tiling — one shuffle, on the partitioning key reused everywhere.
+    Pre-aggregated per batch (combiner) so the one shuffle moves
+    per-batch partials keyed by the same cell id used for tiling.
     """
+    from ..functions.agg import grouped_count
+
     joined = spatial_join(sf_dir)
-    return joined.groupby(["cell", "category"]).aggregate(Count(alias_name="n_pages"))
+    return grouped_count(joined, ["cell", "category"], alias="n_pages")
 
 
 def knn_pages(sf_dir: str, k: int = 10, concurrency=(1, 8)) -> ray.data.Dataset:
@@ -84,6 +95,7 @@ def knn_pages(sf_dir: str, k: int = 10, concurrency=(1, 8)) -> ray.data.Dataset:
         fn_constructor_kwargs={"queries": q_ref, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
         concurrency=concurrency,
     )
     return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")

@@ -141,16 +141,35 @@ def gen_pages_table(n: int, seed: int = SEED) -> pa.Table:
     )
 
 
+SHARD_ROWS = 20_000  # rows per shard file: read parallelism + resumable layout
+
+
 def pages_path(sf_dir: str) -> str:
+    """Directory of shard files (read parallelism scales with shards)."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(PAGES_ROOT, name, "pages.parquet")
+    return os.path.join(PAGES_ROOT, name, "pages")
 
 
 def ensure_pages(sf_dir: str) -> str:
-    """Idempotently materialize the pages parquet for a testdata sf dir."""
+    """Idempotently materialize the sharded pages parquet for an sf dir.
+
+    One deterministic global table, sliced into SHARD_ROWS-row shard
+    files (the resumable one-dir-per-shard layout; also what gives the
+    read stage its parallelism).
+    """
     path = pages_path(sf_dir)
-    if not os.path.exists(path):
-        _atomic_write(gen_pages_table(n_pages_for(sf_dir)), path)
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        table = gen_pages_table(n_pages_for(sf_dir))
+        os.makedirs(path, exist_ok=True)
+        n_shards = max(1, -(-table.num_rows // SHARD_ROWS))
+        for s in range(n_shards):
+            shard = table.slice(s * SHARD_ROWS, SHARD_ROWS)
+            tmp = os.path.join(path, f".part-{s:05d}.tmp.{os.getpid()}")
+            pq.write_table(shard, tmp, row_group_size=5_000)
+            os.replace(tmp, os.path.join(path, f"part-{s:05d}.parquet"))
+        with open(done, "w") as f:
+            f.write(str(table.num_rows))
     return path
 
 

@@ -1,0 +1,191 @@
+"""Applier parity tests — the reference test suite's golden checks
+re-expressed for the Ray engine:
+
+- avg of ramp + reversed ramp, exact equality (testavg.py:35-111)
+- 5x5 maximum filter with overlap=2 == whole-image sliding max, ZERO
+  mismatches (testoverlap.py:40-93)
+- footprint INTERSECTION / UNION extents (testfootprint.py:100-134)
+- layer selection (testlayerselection.py)
+- otherArgs per-block copies merge (testapplyreturn.py)
+- stats sidecar vs numpy (teststats.py)
+"""
+
+import numpy as np
+import pytest
+
+from rios_ray import synth
+from rios_ray.applier import ApplierControls, apply
+from rios_ray.gridmodel import UNION, PixelGrid
+from rios_ray.sources.tileraster import TileRasterInfo, read_stats_sidecar, write_tile_raster
+
+
+def _grid(shift_px: int = 0) -> PixelGrid:
+    d = shift_px * 10.0
+    return PixelGrid(
+        500000.0 + d, 505000.0 + d, 6995000.0 - d, 7000000.0 - d, 10.0, 10.0, "EPSG:28355"
+    )
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("rasters")
+    ramp = synth.gen_ramp_array()
+    out = {}
+    out["ramp"] = write_tile_raster(
+        str(root / "ramp.parquet"), synth.raster_to_tile_table(ramp), _grid(), 1, np.uint8
+    )
+    out["ramp_rev"] = write_tile_raster(
+        str(root / "ramp_rev.parquet"),
+        synth.raster_to_tile_table(ramp[:, ::-1]),
+        _grid(),
+        1,
+        np.uint8,
+    )
+    out["ramp_shift"] = write_tile_raster(
+        str(root / "ramp_shift.parquet"),
+        synth.raster_to_tile_table(ramp, x_left=synth.RASTER_XLEFT + 1000.0,
+                                   y_top=synth.RASTER_YTOP - 1000.0),
+        _grid(100),
+        1,
+        np.uint8,
+    )
+    rc = synth.gen_rowcol2_array()
+    out["rowcol2"] = write_tile_raster(
+        str(root / "rowcol2.parquet"), synth.raster_to_tile_table(rc), _grid(), 2, np.uint16
+    )
+    out["root"] = root
+    out["ramp_arr"] = ramp
+    out["rc_arr"] = rc
+    return out
+
+
+def _read_back(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    info = TileRasterInfo.read(path)
+    t = pq.read_table(path)
+    nrows, ncols = info.grid.dimensions()
+    return synth.tile_table_to_raster(t, info.nbands, nrows, ncols, info.np_dtype)
+
+
+def test_avg_of_two_ramps(fixtures, tmp_path):
+    def avg_fn(info, inputs, outputs):
+        outputs.avg = (inputs.img1.astype(np.float64) + inputs.img2.astype(np.float64)) / 2
+
+    out = str(tmp_path / "avg.parquet")
+    rtn = apply(avg_fn, {"img1": fixtures["ramp"], "img2": fixtures["ramp_rev"]}, {"avg": out})
+    got = _read_back(out)
+    ramp = fixtures["ramp_arr"]
+    want = (ramp.astype(np.float64) + ramp[:, ::-1].astype(np.float64)) / 2
+    np.testing.assert_array_equal(got[0], want)
+    assert rtn.n_blocks == 4
+
+
+def test_overlap_max_filter_zero_mismatch(fixtures, tmp_path):
+    """5x5 max filter via overlap=2 halos == whole-image sliding max."""
+
+    def max_fn(info, inputs, outputs):
+        a = inputs.img[0]
+        stack = [
+            a[dy : a.shape[0] - 4 + dy, dx : a.shape[1] - 4 + dx]
+            for dy in range(5)
+            for dx in range(5)
+        ]
+        # block padded with margin 2 on all sides: result has the block's
+        # true size + margin trimmed by the applier afterwards — emit at
+        # padded size by re-padding the filtered interior
+        filt = np.maximum.reduce(stack)
+        out = np.zeros_like(a)
+        out[2:-2, 2:-2] = filt
+        outputs.filtered = out[None, :, :]
+
+    controls = ApplierControls()
+    controls.setOverlap(2)
+    out = str(tmp_path / "maxfilt.parquet")
+    apply(max_fn, {"img": fixtures["ramp"]}, {"filtered": out}, controls=controls)
+    got = _read_back(out)[0]
+
+    ramp = fixtures["ramp_arr"]
+    padded = np.zeros((504, 504), dtype=ramp.dtype)
+    padded[2:-2, 2:-2] = ramp
+    stack = [padded[dy : 500 + dy, dx : 500 + dx] for dy in range(5) for dx in range(5)]
+    want = np.maximum.reduce(stack)
+    assert (got != want).sum() == 0
+
+
+def test_footprint_intersection_and_union(fixtures, tmp_path):
+    def ident(info, inputs, outputs):
+        outputs.out = inputs.a
+
+    # INTERSECTION (default): 400x400 overlap region
+    out = str(tmp_path / "inter.parquet")
+    controls = ApplierControls()
+    controls.setReference("a")
+    rtn = apply(
+        ident, {"a": fixtures["ramp"], "b": fixtures["ramp_shift"]}, {"out": out},
+        controls=controls,
+    )
+    assert rtn.working_grid.dimensions() == (400, 400)
+    got = _read_back(out)[0]
+    # 'a' window within intersection: rows 100.., cols 100..
+    np.testing.assert_array_equal(got, fixtures["ramp_arr"][100:, 100:])
+
+    # UNION: 600x600, out-of-extent null-filled with 0
+    controls.setFootprintType(UNION)
+    out2 = str(tmp_path / "union.parquet")
+    rtn2 = apply(
+        ident, {"a": fixtures["ramp"], "b": fixtures["ramp_shift"]}, {"out": out2},
+        controls=controls,
+    )
+    assert rtn2.working_grid.dimensions() == (600, 600)
+    got2 = _read_back(out2)[0]
+    want2 = np.zeros((600, 600), dtype=np.uint8)
+    want2[:500, :500] = fixtures["ramp_arr"]
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_layer_selection(fixtures, tmp_path):
+    def pick(info, inputs, outputs):
+        assert inputs.img.shape[0] == 1
+        outputs.out = inputs.img
+
+    controls = ApplierControls()
+    controls.selectInputImageLayers([2], "img")  # 1-based: band 2 = col index
+    out = str(tmp_path / "sel.parquet")
+    apply(pick, {"img": fixtures["rowcol2"]}, {"out": out}, controls=controls)
+    got = _read_back(out)
+    np.testing.assert_array_equal(got[0], fixtures["rc_arr"][1])
+
+
+def test_other_args_per_block_merge(fixtures, tmp_path):
+    class OA:
+        def __init__(self):
+            self.total = 0
+            self.count = 0
+
+    def accum(info, inputs, outputs, other):
+        other.total += int(inputs.img.astype(np.int64).sum())
+        other.count += 1
+        outputs.out = inputs.img
+
+    out = str(tmp_path / "oa.parquet")
+    rtn = apply(accum, {"img": fixtures["ramp"]}, {"out": out}, other_args=OA())
+    assert len(rtn.other_args_list) == 4  # one per block
+    merged_total = sum(o.total for o in rtn.other_args_list)
+    assert merged_total == int(fixtures["ramp_arr"].astype(np.int64).sum())
+    assert sum(o.count for o in rtn.other_args_list) == 4
+
+
+def test_stats_sidecar(fixtures, tmp_path):
+    def ident(info, inputs, outputs):
+        outputs.out = inputs.img
+
+    out = str(tmp_path / "stats.parquet")
+    apply(ident, {"img": fixtures["ramp"]}, {"out": out})
+    stats = read_stats_sidecar(out)["0"]
+    ramp = fixtures["ramp_arr"].astype(np.float64)
+    assert stats["min"] == ramp.min()
+    assert stats["max"] == ramp.max()
+    assert stats["mean"] == pytest.approx(ramp.mean(), rel=1e-12)
+    assert stats["stddev"] == pytest.approx(ramp.std(), rel=1e-9)
+    assert stats["count"] == 250000
