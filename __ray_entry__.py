@@ -152,6 +152,36 @@ def _q_hex_cells(sf_dir: str):
     return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "hex_cell"])
 
 
+def _q_text_token_stats(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.token_stats(sf_dir)
+
+
+def _q_text_quality(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.quality(sf_dir)
+
+
+def _q_text_lang_id(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.lang_id(sf_dir)
+
+
+def _q_text_md5(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.fingerprints(sf_dir).select_columns(["doc_id", "text_md5"])
+
+
+def _q_text_winnow(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.fingerprints(sf_dir).select_columns(["doc_id", "fp_size"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # materialize the shared deterministic inputs before any oracle runs
     synth.ensure_pages(SF001)
@@ -169,6 +199,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pages": _q_knn,
         "s2_cells": _q_s2_cells,  # rows-only (bit-level cell ids not SQL-expressible)
         "hex_cells": _q_hex_cells,  # rows-only
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_md5": _q_text_md5,
+        "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
+    }
+
+
+def _text_oracle_sql() -> dict[str, str]:
+    """Text-analysis oracles over the pre-registered ``documents`` view.
+
+    DuckDB's regex engine is RE2 — the same engine as the
+    pyarrow.compute kernels in rios_ray.text.analysis — so these are
+    bit-identical reimplementations, not approximations.
+    """
+    from rios_ray.text.analysis import LANG_PRIORITY, STOPWORD_RES
+
+    en = STOPWORD_RES["en"]
+    lang_cases = " ".join(f"WHEN c_{l} = m THEN '{l}'" for l in LANG_PRIORITY)
+    lang_counts = ", ".join(
+        rf"len(regexp_extract_all(lower(text),'{STOPWORD_RES[l]}')) AS c_{l}"
+        for l in LANG_PRIORITY
+    )
+    return {
+        "text_token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_txt,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS n_bpe
+              FROM documents
+        """,
+        "text_quality": rf"""
+            SELECT doc_id,
+                   LEAST(1.0, len(regexp_extract_all(text,'\S+'))/64.0)*0.5
+                 + LEAST(1.0, (len(regexp_extract_all(lower(text),'{en}'))
+                     / GREATEST(len(regexp_extract_all(text,'\S+')),1)) * 8.0)*0.3
+                 + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
+                     / GREATEST(length(text),1)) * 10.0))*0.2 AS quality
+              FROM documents
+        """,
+        "text_lang_id": rf"""
+            WITH c AS (SELECT doc_id, {lang_counts} FROM documents),
+                 m AS (SELECT *, GREATEST(c_en,c_de,c_fr,c_es,c_zh) AS m FROM c)
+            SELECT doc_id, CASE WHEN m=0 THEN 'und' {lang_cases} END AS lang_pred
+              FROM m
+        """,
+        "text_md5": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS text_md5
+              FROM documents
+        """,
     }
 
 
@@ -176,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
     ppath = synth.polygons_path()
     qpath = synth.knn_queries_path()
     return {
+        **_text_oracle_sql(),
         "extracted_text": f"""
             SELECT url, text AS extracted_text
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')

@@ -1,0 +1,157 @@
+"""Vectorized text-analysis batch functions (documents table).
+
+Every regex runs through pyarrow.compute, whose engine is RE2 — the
+same engine DuckDB uses — so the DuckDB oracle SQL in
+``__ray_entry__.py`` evaluates the *identical* pattern semantics and
+the outputs match bit-for-bit (the reference's dual-implementation
+golden-check philosophy, ``/root/reference/rios/riostests/
+riostestutils.py:3-10``, applied to text ops).
+
+All functions are per-batch (``map_batches(fn, batch_format="pyarrow",
+zero_copy_batch=True)``) and stateless: no Python row loops in the
+count/score paths; the only per-row loop is the md5 fingerprint, which
+is a C-speed digest call per row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting -------------------------------------------------------
+
+TOKEN_RE = r"\S+"
+ALPHA_TOKEN_RE = r"[A-Za-z]+"
+PUNCT_RE = r"[^\w\s]"
+# BPE-ish pre-tokenizer (GPT-2 style, minus RE2-unsupported lookahead):
+# a token is an optionally space-prefixed run of letters, digits, or
+# other non-space symbols.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+# --- stopword models (lowercase alternations, \b word boundaries) ---------
+
+STOPWORD_RES: dict[str, str] = {
+    "en": r"\b(the|a|an|and|or|of|to|in|is|it|that|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|mit|auf)\b",
+    "fr": r"\b(le|la|les|et|un|une|est|que|pour|dans)\b",
+    "es": r"\b(el|los|las|y|una|es|por|con|para|como)\b",
+    "zh": r"\b(de|le|shi|bu|wo|ni|ta|zhe|na|you)\b",
+}
+LANG_PRIORITY = ["en", "de", "fr", "es", "zh"]
+
+
+def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> np.ndarray:
+    return pc.count_substring_regex(col, pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars_txt / n_tokens / n_alpha / n_punct / n_bpe columns."""
+    t = batch[text_col]
+    batch = batch.append_column(
+        "n_chars_txt", pc.utf8_length(t).cast(pa.int64())
+    )
+    batch = batch.append_column("n_tokens", pa.array(_count_re(t, TOKEN_RE)))
+    batch = batch.append_column("n_alpha", pa.array(_count_re(t, ALPHA_TOKEN_RE)))
+    batch = batch.append_column("n_punct", pa.array(_count_re(t, PUNCT_RE)))
+    batch = batch.append_column("n_bpe", pa.array(_count_re(t, BPE_RE)))
+    return batch
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append a [0,1] quality score from length / stopword / punct ratios.
+
+    The arithmetic (operand order, int->double casts, LEAST/GREATEST
+    clamps) exactly mirrors the oracle SQL expression so float64
+    results are bit-identical.
+    """
+    t = batch[text_col]
+    lower = pc.utf8_lower(t)
+    n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = _count_re(t, TOKEN_RE)
+    n_punct = _count_re(t, PUNCT_RE)
+    stop_hits = _count_re(lower, STOPWORD_RES["en"])
+
+    tok_term = np.minimum(1.0, n_tokens / 64.0) * 0.5
+    stop_term = np.minimum(1.0, (stop_hits / np.maximum(n_tokens, 1)) * 8.0) * 0.3
+    punct_term = (1.0 - np.minimum(1.0, (n_punct / np.maximum(n_chars, 1)) * 10.0)) * 0.2
+    quality = tok_term + stop_term + punct_term
+
+    batch = batch.append_column("n_tokens", pa.array(n_tokens))
+    batch = batch.append_column("stop_hits", pa.array(stop_hits))
+    batch = batch.append_column("n_punct", pa.array(n_punct))
+    batch = batch.append_column("quality", pa.array(quality))
+    return batch
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append lang_pred: stopword-hit-count argmax (first-max wins).
+
+    n-gram-heuristic language ID: per-language stopword alternation hit
+    counts; prediction = first language (in LANG_PRIORITY order) whose
+    count equals the max; all-zero -> 'und'.
+    """
+    lower = pc.utf8_lower(batch[text_col])
+    counts = np.stack([_count_re(lower, STOPWORD_RES[lang]) for lang in LANG_PRIORITY], axis=1)
+    best = np.argmax(counts, axis=1)  # first occurrence of the max
+    has_any = counts.max(axis=1) > 0
+    langs = np.array(LANG_PRIORITY, dtype=object)
+    pred = np.where(has_any, langs[best], "und")
+    return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+# --- fingerprinting -------------------------------------------------------
+
+
+def _normalize(col) -> pa.ChunkedArray:
+    """lowercase, collapse whitespace runs to one space, strip ends."""
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def md5_fingerprint(batch: pa.Table, text_col: str = "text", out_col: str = "text_md5") -> pa.Table:
+    """Append the md5 hex digest of the normalized text.
+
+    Matches DuckDB ``md5(trim(regexp_replace(lower(text),'\\s+',' ','g')))``.
+    """
+    norm = _normalize(batch[text_col])
+    digests = [hashlib.md5(s.as_py().encode("utf-8")).hexdigest() for s in norm.combine_chunks()]
+    return batch.append_column(out_col, pa.array(digests, type=pa.string()))
+
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (min-hash per window of k-gram hashes)
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+
+def winnow_fingerprint_one(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> np.ndarray:
+    """Winnowing document fingerprint: sorted unique window-min k-gram hashes.
+
+    Rolling polynomial hash over bytes (numpy uint64, wraps mod 2^64);
+    per sliding window of ``w`` consecutive k-gram hashes keep the min
+    (the winnowing scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03).
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    # h[i] = sum b[i+j] * base^(k-1-j), computed via a strided matmul-free scheme
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    n = len(b) - k + 1
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    grams = (b[idx] * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    if n <= w:
+        return np.unique(grams.min(keepdims=True))
+    windows = np.lib.stride_tricks.sliding_window_view(grams, w)
+    return np.unique(windows.min(axis=1))
+
+
+def winnow_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append fingerprint (list<uint64>) + fp_size columns per document."""
+    texts = batch[text_col].to_pylist()
+    fps = [winnow_fingerprint_one(t) for t in texts]
+    return batch.append_column(
+        "fingerprint", pa.array([fp.tolist() for fp in fps], type=pa.list_(pa.uint64()))
+    ).append_column("fp_size", pa.array([len(fp) for fp in fps], type=pa.int64()))
