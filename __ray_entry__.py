@@ -182,6 +182,30 @@ def _q_text_winnow(sf_dir: str):
     return T.fingerprints(sf_dir).select_columns(["doc_id", "fp_size"])
 
 
+def _q_dedup_exact(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.exact_dedup(sf_dir)
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.jaccard_pairs(sf_dir, threshold=0.5, df_cap=64)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.minhash_pairs(sf_dir, threshold=0.5)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.simhash_pairs(sf_dir, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # materialize the shared deterministic inputs before any oracle runs
     synth.ensure_pages(SF001)
@@ -204,6 +228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": _q_text_lang_id,
         "text_md5": _q_text_md5,
         "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_pairs": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
     }
 
 
@@ -255,11 +283,61 @@ def _text_oracle_sql() -> dict[str, str]:
     }
 
 
+_GRAMS_CTE = r"""
+    g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM documents),
+    g1 AS (SELECT doc_id,
+                  CASE WHEN len(words) < 3 THEN [text]
+                       ELSE list_distinct(list_transform(
+                              generate_series(1, len(words) - 2),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  END AS grams
+             FROM g0),
+    grams AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g1)
+"""
+
+
+def _dedup_oracle_sql() -> dict[str, str]:
+    """Dedup oracles over the ``documents`` view.
+
+    Shingling mirrors rios_ray.dedup.shingles.doc_grams exactly (verified
+    gram-for-gram in tests/test_dedup.py); the minhash oracle is the
+    *exact* Jaccard SQL — valid because LSH recall at these parameters is
+    ~1 (see rios_ray/pipelines/dedup.py docstring).
+    """
+    from rios_ray.pipelines.dedup import DUP_CORPUS_SQL
+
+    jaccard_tail = """
+        df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        ok AS (SELECT g.doc_id, g.gram, g.n_grams
+                 FROM grams g JOIN df USING (gram) WHERE df.df <= {cap}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+              FROM ok a JOIN ok b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+          FROM pairs
+         WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+    """
+    return {
+        "dedup_exact": rf"""
+            WITH corpus AS ({DUP_CORPUS_SQL})
+            SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS text_md5,
+                   min(doc_id) AS keep_id, count(*) AS n_docs
+              FROM corpus GROUP BY 1
+        """,
+        "dedup_jaccard_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=64)}",
+        "dedup_minhash_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)}",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     ppath = synth.polygons_path()
     qpath = synth.knn_queries_path()
     return {
         **_text_oracle_sql(),
+        **_dedup_oracle_sql(),
         "extracted_text": f"""
             SELECT url, text AS extracted_text
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')

@@ -1,0 +1,375 @@
+"""Dedup pipelines over the documents table (Ray-Data-first).
+
+Shuffle strategy (the part that matters at 100 TB):
+
+- exact: per-batch *partial* (md5 -> min id, count) combiner inside
+  ``map_batches`` so the one ``groupby`` shuffle moves one row per
+  distinct key per batch, not one row per document.
+- n-gram Jaccard: gram-keyed shuffle with an explicit document-
+  frequency cap (``df_cap``) — the skew control; a gram shared by F
+  docs emits O(F^2) pairs, so hot grams are dropped from candidate
+  generation on BOTH engine and oracle sides (identical semantics).
+- MinHash+LSH: fixed 256-perm signatures, 64 bands x 4 rows; band
+  buckets shuffle tiny (band, key, doc_id) rows; candidates are
+  verified with the *exact* Jaccard (texts fetched via two hash
+  joins), so the output equals the exact operator wherever LSH recall
+  is 1 — with these parameters, a true pair at j >= 0.8 is missed with
+  probability (1 - 0.8^4)^64 < 1e-14.
+- SimHash: 4-band pigeonhole on the 64-bit hash guarantees every pair
+  within Hamming distance 3 shares a band (no probabilistic recall);
+  band rows carry the hash so verification is local to the bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..dedup import hashing as H
+from ..dedup.shingles import DEFAULT_NGRAM, explode_grams, gram_hash_arrays
+from ..sources.documents import read_documents
+from ..text.analysis import md5_fingerprint
+
+BATCH_SIZE = 4096
+COPY_OFFSET = 1_000_000
+NUM_PERM = 256
+N_BANDS = 64
+
+
+def _default_join_partitions() -> int:
+    """Join parallelism sized to the session: each hash-join spawns
+    ``num_partitions`` aggregator actors, and two chained joins at 16
+    partitions starve a 4-CPU session (measured: >6 min vs 15 s at 4).
+    On a real cluster callers pass an explicit value ~ total cores.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(16, cpus))
+
+# SQL fragment mirrored by dup_corpus() — kept next to the code it must
+# match; __ray_entry__ imports it for the oracle.
+DUP_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {COPY_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def dup_corpus(sf_dir: str) -> ray.data.Dataset:
+    """documents plus exact copies of every 10th doc (id + 1e6).
+
+    Deterministic, derivable by the oracle from the same view — no
+    side files.  Gives the exact-dedup operator real duplicate groups
+    to find (the raw table has near-dupes but no exact dupes).
+    """
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def shift(b: pa.Table) -> pa.Table:
+        # pyarrow has no modulo kernel — numpy view, zero-copy
+        keep = pa.array(b["doc_id"].to_numpy() % 10 == 0)
+        b = b.filter(keep)
+        return b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(b["doc_id"], COPY_OFFSET),
+        )
+
+    copies = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    return docs.union(copies)
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(text_md5, keep_id, n_docs) — hash-partitioned first-wins dedup."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = md5_fingerprint(b)
+        g = pa.table({"text_md5": b["text_md5"], "doc_id": b["doc_id"]})
+        agg = g.group_by("text_md5").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return agg.rename_columns(["text_md5", "keep_id", "n_docs"])
+
+    ds = dup_corpus(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    return ds.groupby("text_md5").aggregate(
+        Min("keep_id", alias_name="keep_id"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+
+# --- exact n-gram Jaccard pairs ------------------------------------------
+
+
+def _emit_pairs(df_cap: int):
+    def fn(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > df_cap:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n_a": pa.array([], type=pa.int64()),
+                    "n_b": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = np.asarray(group["doc_id"].to_numpy())
+        ng = np.asarray(group["n_grams"].to_numpy())
+        order = np.argsort(ids, kind="stable")
+        ids, ng = ids[order], ng[order]
+        ia, ib = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia]),
+                "doc_b": pa.array(ids[ib]),
+                "n_a": pa.array(ng[ia]),
+                "n_b": pa.array(ng[ib]),
+            }
+        )
+
+    return fn
+
+
+def jaccard_pairs(
+    sf_dir: str,
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    df_cap: int = 64,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard) for all pairs with exact word-n-gram
+    Jaccard >= threshold, computed fully distributed.
+
+    docs -> explode distinct grams -> groupby(gram) pair emission
+    (df-capped) -> groupby(pair) shared-count -> jaccard filter.
+    """
+    grams = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: explode_grams(b, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    pairs = grams.groupby("gram").map_groups(
+        _emit_pairs(df_cap), batch_format="pyarrow"
+    )
+    shared = pairs.groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
+        Count(alias_name="shared")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sh = b["shared"].to_numpy().astype(np.int64)
+        na = b["n_a"].to_numpy().astype(np.int64)
+        nb = b["n_b"].to_numpy().astype(np.int64)
+        j = sh / (na + nb - sh)
+        out = pa.table(
+            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "jaccard": pa.array(j)}
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return shared.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def _band_rows(num_perm: int, n_bands: int, ngram: int):
+    a, b_ = H.minhash_params(num_perm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hashes, offsets, _ = gram_hash_arrays(batch["text"].to_pylist(), ngram)
+        sig = H.minhash_signatures(hashes, offsets, a, b_)
+        keys = H.band_keys(sig, n_bands)  # (n_docs, n_bands)
+        n_docs = len(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n_docs)),
+                "key": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+            }
+        )
+
+    return fn
+
+
+def _emit_pairs_nocount(group: pa.Table) -> pa.Table:
+    ids = np.unique(group["doc_id"].to_numpy())
+    n = len(ids)
+    if n < 2:
+        return pa.table(
+            {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+        )
+    ia, ib = np.triu_indices(n, k=1)
+    return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
+
+
+def minhash_candidates(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    num_perm: int = NUM_PERM,
+    n_bands: int = N_BANDS,
+) -> ray.data.Dataset:
+    """Distinct candidate pairs from LSH band-bucket collisions."""
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    bands = docs.map_batches(
+        _band_rows(num_perm, n_bands, ngram),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        _emit_pairs_nocount, batch_format="pyarrow"
+    )
+    # dedupe across bands
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+    )
+
+
+def _verify_jaccard(threshold: float, ngram: int):
+    from ..dedup.shingles import doc_grams
+
+    def fn(b: pa.Table) -> pa.Table:
+        ta = b["text_a"].to_pylist()
+        tb = b["text_b"].to_pylist()
+        out_j = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            ga, gb = set(doc_grams(x, ngram)), set(doc_grams(y, ngram))
+            inter = len(ga & gb)
+            out_j[i] = inter / (len(ga) + len(gb) - inter)
+        out = pa.table(
+            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "jaccard": pa.array(out_j)}
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return fn
+
+
+def minhash_pairs(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    n_bands: int = N_BANDS,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard): LSH candidates verified with exact
+    Jaccard — same output as :func:`jaccard_pairs` wherever LSH recall
+    is 1 (see module docstring for the recall bound)."""
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    cands = minhash_candidates(sf_dir, ngram, num_perm, n_bands)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    j = cands.join(
+        docs,
+        "inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    )
+    # second join collides on "text"; suffixes split them into _a/_b
+    j = j.join(
+        docs,
+        "inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+    return j.map_batches(
+        _verify_jaccard(threshold, ngram),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def simhashes(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> ray.data.Dataset:
+    """(doc_id, simhash) — 64-bit SimHash per document."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        hashes, offsets, _ = gram_hash_arrays(b["text"].to_pylist(), ngram)
+        sims = H.simhash64(hashes, offsets)
+        return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(sims)})
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+
+
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, ngram: int = DEFAULT_NGRAM
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance
+    ``max_hamming`` — exact by pigeonhole with 4 bands (band rows carry
+    the full hash, so verification is bucket-local; no second join)."""
+    n_bands = max_hamming + 1
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        sims = b["simhash"].to_numpy()
+        keys = H.simhash_bands(sims, n_bands)
+        n = len(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                "key": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+                "simhash": pa.array(np.repeat(sims, n_bands)),
+            }
+        )
+
+    def emit_verified(group: pa.Table) -> pa.Table:
+        tbl = group.select(["doc_id", "simhash"])
+        ids = tbl["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sims = tbl["simhash"].to_numpy()[order]
+        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, sims = ids[keep], sims[keep]
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        hd = H.hamming64(sims[ia], sims[ib]).astype(np.int64)
+        ok = hd <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia][ok]),
+                "doc_b": pa.array(ids[ib][ok]),
+                "hamming": pa.array(hd[ok]),
+            }
+        )
+
+    bands = simhashes(sf_dir, ngram).map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        emit_verified, batch_format="pyarrow"
+    )
+    # a pair can match in multiple bands — dedupe (hamming is identical)
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

@@ -1,0 +1,158 @@
+"""Dedup golden tests: Ray pipelines vs DuckDB / brute-force oracles.
+
+Same dual-implementation style as the reference's tests
+(/root/reference/rios/riostests/riostestutils.py:3-10): oracle computed
+by an independent engine (DuckDB SQL, plain Python sets), compared
+exactly.
+"""
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from rios_ray.dedup import hashing as H
+from rios_ray.dedup.shingles import doc_grams
+from rios_ray.pipelines import dedup as D
+
+SF = "/root/testdata/sf0.001"
+DOCS = f"{SF}/documents.parquet"
+
+GRAMS_CTE = r"""
+    g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM docs),
+    g1 AS (SELECT doc_id,
+                  CASE WHEN len(words) < 3 THEN [text]
+                       ELSE list_distinct(list_transform(
+                              generate_series(1, len(words) - 2),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  END AS grams
+             FROM g0),
+    grams AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g1)
+"""
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW docs AS SELECT * FROM read_parquet('{DOCS}')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def gram_sets():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    return {
+        i: set(doc_grams(x))
+        for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+def test_exact_dedup(ray_session, con):
+    got = (
+        D.exact_dedup(SF)
+        .to_pandas()
+        .sort_values("text_md5")
+        .reset_index(drop=True)
+    )
+    want = con.execute(rf"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM docs
+            UNION ALL
+            SELECT doc_id + {D.COPY_OFFSET} AS doc_id, text
+              FROM docs WHERE doc_id % 10 = 0
+        )
+        SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS text_md5,
+               min(doc_id) AS keep_id, count(*) AS n_docs
+          FROM corpus GROUP BY 1 ORDER BY 1""").df()
+    assert got["text_md5"].tolist() == want["text_md5"].tolist()
+    assert got["keep_id"].tolist() == want["keep_id"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    # the synthetic copies must actually produce duplicate groups
+    assert (want["n_docs"] > 1).any()
+
+
+def test_jaccard_pairs_vs_sql(ray_session, con):
+    """Ray gram-shuffle pipeline == DuckDB with identical df-cap semantics."""
+    got = D.jaccard_pairs(SF, threshold=0.5, df_cap=64).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want = con.execute(rf"""
+        WITH {GRAMS_CTE},
+        df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        ok AS (SELECT g.doc_id, g.gram, g.n_grams
+                 FROM grams g JOIN df USING (gram) WHERE df.df <= 64),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+              FROM ok a JOIN ok b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+          FROM pairs
+         WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         ORDER BY doc_a, doc_b""").df()
+    assert len(want) > 0  # fixture must contain near-dupes
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()  # bit-exact
+
+
+def _true_jaccard_pairs(gram_sets, threshold):
+    ids = sorted(gram_sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = gram_sets[a], gram_sets[b]
+            inter = len(ga & gb)
+            j = inter / (len(ga) + len(gb) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_equals_exact(ray_session, gram_sets):
+    """LSH candidates + exact verify == brute-force true Jaccard.
+
+    With 256 perms x 64 bands x 4 rows, P[miss a 0.5-pair] =
+    (1 - 0.5^4)^64 ~= 1.6%, and fixture pairs sit well above 0.5, so
+    equality is deterministic in practice for this fixture.
+    """
+    got = D.minhash_pairs(SF, threshold=0.5).to_pandas()
+    got_pairs = {
+        (a, b): j
+        for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+    }
+    want = _true_jaccard_pairs(gram_sets, 0.5)
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k], abs=0)
+
+
+def test_simhash_pairs_vs_bruteforce(ray_session):
+    """Banded pipeline finds exactly the brute-force Hamming<=3 pairs
+    (pigeonhole guarantees recall 1 — no probabilistic slack)."""
+    sims = D.simhashes(SF).to_pandas()
+    ids = sims["doc_id"].to_numpy()
+    hs = sims["simhash"].to_numpy()
+    import numpy as np
+
+    ia, ib = np.triu_indices(len(ids), k=1)
+    hd = H.hamming64(hs[ia], hs[ib])
+    ok = hd <= 3
+    want = {
+        (int(a), int(b)): int(d)
+        for a, b, d in zip(ids[ia][ok], ids[ib][ok], hd[ok])
+    }
+    got = D.simhash_pairs(SF, max_hamming=3).to_pandas()
+    got_pairs = {
+        (int(a), int(b)): int(d)
+        for a, b, d in zip(got["doc_a"], got["doc_b"], got["hamming"])
+    }
+    assert got_pairs == want
+    assert len(want) > 0  # near-dupes in the fixture collide on simhash
+
+
+def test_fnv1a_reference_vectors():
+    """FNV-1a 64 known-answer vectors (public test vectors)."""
+    got = H.fnv1a64(["", "a", "foobar"])
+    assert got[0] == 0xCBF29CE484222325
+    assert got[1] == 0xAF63DC4C8601EC8C
+    assert got[2] == 0x85944171F73967E8
