@@ -206,6 +206,30 @@ def _q_dedup_simhash(sf_dir: str):
     return D.simhash_pairs(sf_dir, max_hamming=3)
 
 
+def _q_knn_embeddings(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.knn_embeddings(sf_dir, k=10)
+
+
+def _q_knn_embeddings_ivf(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.knn_embeddings_ivf(sf_dir, k=10)
+
+
+def _q_emb_neardup(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.cosine_neardup(sf_dir, threshold=0.8)
+
+
+def _q_emb_neardup_lsh(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.cosine_neardup_lsh(sf_dir, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # materialize the shared deterministic inputs before any oracle runs
     synth.ensure_pages(SF001)
@@ -232,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
+        "knn_embeddings": _q_knn_embeddings,
+        "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
+        "emb_neardup": _q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
     }
 
 
@@ -332,12 +360,43 @@ def _dedup_oracle_sql() -> dict[str, str]:
     }
 
 
+def _embeddings_oracle_sql() -> dict[str, str]:
+    """Embedding oracles over the ``embeddings`` view.  kNN output is
+    rank-only: DuckDB's float32 cosine differs from numpy float64 at
+    ~1e-7 but fixture rank gaps are ~1e-5, so ranks agree.  The LSH
+    near-dup shares the exact oracle (recall ~1 at these parameters —
+    see rios_ray/pipelines/embeddings.py docstring)."""
+    from rios_ray.pipelines.embeddings import NEARDUP_CORPUS_SQL, QUERY_MOD
+
+    neardup = f"""
+        WITH corpus AS ({NEARDUP_CORPUS_SQL})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+    """
+    return {
+        "knn_embeddings": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                         FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+            d AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS cos
+                    FROM embeddings e CROSS JOIN q)
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+              FROM d QUALIFY rank <= 10
+        """,
+        "emb_neardup": neardup,
+        "emb_neardup_lsh": neardup,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     ppath = synth.polygons_path()
     qpath = synth.knn_queries_path()
     return {
         **_text_oracle_sql(),
         **_dedup_oracle_sql(),
+        **_embeddings_oracle_sql(),
         "extracted_text": f"""
             SELECT url, text AS extracted_text
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')

@@ -1,0 +1,386 @@
+"""Similarity search + embedding near-dup over the embeddings table.
+
+Scale strategy (the design constraint, per BASELINE north rule):
+
+- kNN brute-force (`knn_embeddings`): the *small-query-side broadcast*
+  pattern — the query matrix is ``ray.put`` once and read by every
+  batch task; each batch does ONE numpy matmul and emits only its local
+  top-k per query (k x n_queries rows per batch), so the final
+  ``groupby(qid)`` shuffle moves O(batches * k * q) candidate rows, not
+  the dataset.  Mirrors RIOS's broadcast-side lookups
+  (/root/reference/rios/rat.py:326-354 — small side shipped, big side
+  streamed).
+- kNN IVF (`knn_embeddings_ivf`): the scale path — seeded k-means
+  centroids (driver-side, from a bounded sample) broadcast to an actor
+  pool; each batch scores only rows whose centroid falls in the query's
+  ``nprobe`` nearest centroids, cutting the matmul by ~nprobe/nlist.
+  Approximate => no SQL oracle (tests assert recall vs brute force).
+- near-dup exact (`cosine_neardup`): all-pairs via broadcast of the
+  full normalized matrix — the O(n^2) *baseline*, correct at any scale
+  where one side fits a worker (it is the verify kernel, not the scan).
+- near-dup LSH (`cosine_neardup_lsh`): the scale path — random
+  hyperplane signatures, banded like MinHash; band buckets shuffle tiny
+  (band, key, vec_id, embedding) rows and pairs are verified with the
+  exact cosine inside the bucket, so output == exact wherever recall
+  is 1.  Default 16 bands x 8 bits: per-hyperplane agreement for a
+  cosine-c pair is p = 1 - acos(c)/pi, so a 0.96-cosine pair
+  (p=0.91, band hit p^8=0.47) is missed with probability
+  (1-0.47)^16 ~= 4e-5; pairs hovering near threshold 0.8 (p=0.80)
+  miss at ~6% — raise n_bands when borderline pairs matter.
+
+The near-dup corpus augments the raw table (random unit vectors, max
+natural pairwise cosine ~0.51 at sf0.01) with deterministic perturbed
+copies of every 10th vector (cosine ~0.96 to their original), derived
+from the same parquet by both engine and DuckDB oracle — no side files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ..sources.embeddings import batch_matrix, embeddings_file, read_embeddings
+
+BATCH_SIZE = 2048
+EMB_COPY_OFFSET = 1_000_000
+EMB_DIM = 64
+PERTURB_SCALE = 0.05
+DEFAULT_K = 10
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 -> query vector
+
+# mirrored by the oracle; DuckDB list lambdas index from 1, matched below
+NEARDUP_CORPUS_SQL = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMB_COPY_OFFSET} AS vec_id,
+           list_transform(embedding, (x, i) ->
+               CAST(x AS DOUBLE) + {PERTURB_SCALE} * sin(CAST(vec_id * {EMB_DIM} + i AS DOUBLE)))
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _perturb(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Deterministic perturbation, bit-matching the SQL (i is 1-based)."""
+    i = np.arange(1, mat.shape[1] + 1, dtype=np.float64)
+    return mat + PERTURB_SCALE * np.sin(ids[:, None] * EMB_DIM + i[None, :])
+
+
+def neardup_corpus(sf_dir: str) -> ray.data.Dataset:
+    """embeddings plus perturbed copies of every 10th vector."""
+    base = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        keep = ids % 10 == 0
+        ids = ids[keep].astype(np.float64)
+        mat = batch_matrix(b["embedding"])[keep]
+        mat = _perturb(ids, mat)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64) + EMB_COPY_OFFSET),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel()), mat.shape[1]
+                ),
+            }
+        )
+
+    shifted = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        copies, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    return base.union(shifted)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _load_matrix(sf_dir: str, where_mod: int | None = None):
+    """Driver-side bounded read of the (small) broadcast side."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(embeddings_file(sf_dir), columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = batch_matrix(t["embedding"])
+    if where_mod is not None:
+        keep = ids % where_mod == 0
+        ids, mat = ids[keep], mat[keep]
+    return ids, mat
+
+
+def _corpus_matrix(sf_dir: str):
+    """ids + normalized matrix of the near-dup corpus (base + copies)."""
+    ids, mat = _load_matrix(sf_dir)
+    keep = ids % 10 == 0
+    cids = ids[keep]
+    cmat = _perturb(cids.astype(np.float64), mat[keep])
+    all_ids = np.concatenate([ids, cids + EMB_COPY_OFFSET])
+    all_mat = np.concatenate([mat, cmat])
+    return all_ids, _normalize(all_mat)
+
+
+# --- kNN: brute-force baseline -------------------------------------------
+
+
+class _BatchTopK:
+    """Actor-pool stage: local top-k per query per batch.
+
+    The query matrix comes in via an object-store ref — shipped once per
+    actor (``__init__``), never per batch.
+    """
+
+    def __init__(self, qref, k: int):
+        self.qids, self.q = ray.get(qref)  # (nq,), (nq, dim) normalized
+        self.k = k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mat = _normalize(batch_matrix(b["embedding"]))
+        scores = mat @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
+        nq = len(self.qids)
+        return pa.table(
+            {
+                "qid": pa.array(np.tile(self.qids, k)),
+                "vec_id": pa.array(ids[top].ravel()),
+                "cos": pa.array(np.take_along_axis(scores, top, axis=0).ravel()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def fn(g: pa.Table) -> pa.Table:
+        qid = g["qid"][0].as_py()
+        ids = g["vec_id"].to_numpy()
+        cos = g["cos"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "qid": pa.array(np.full(len(order), qid, dtype=np.int64)),
+                "vec_id": pa.array(ids[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return fn
+
+
+def knn_embeddings(sf_dir: str, k: int = DEFAULT_K) -> ray.data.Dataset:
+    """(qid, vec_id, rank): exact cosine top-k of every query vector
+    (vec_id % 50 == 0) over the full table.  Rank-only output: DuckDB's
+    float32 cosine differs from numpy float64 at ~1e-7 but rank gaps in
+    the fixture are ~1e-5, so ranks are stable across engines."""
+    qids, qmat = _load_matrix(sf_dir, where_mod=QUERY_MOD)
+    qref = ray.put((qids, _normalize(qmat)))
+    cands = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+        concurrency=(1, 8),
+    )
+    return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
+# --- kNN: IVF scale path --------------------------------------------------
+
+
+def _kmeans(mat: np.ndarray, nlist: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    return cent
+
+
+class _IVFTopK:
+    def __init__(self, qref, k: int):
+        self.qids, self.q, self.cent, self.probe = ray.get(qref)
+        self.k = k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mat = _normalize(batch_matrix(b["embedding"]))
+        assign = np.argmax(mat @ self.cent.T, axis=1)  # (n,)
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probe[j])
+            if not mask.any():
+                continue
+            sub = mat[mask] @ self.q[j]
+            k = min(self.k, len(sub))
+            top = np.argpartition(-sub, k - 1)[:k]
+            out_q.append(np.full(k, qid, dtype=np.int64))
+            out_v.append(ids[mask][top])
+            out_c.append(sub[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
+def knn_embeddings_ivf(
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 20_000,
+) -> ray.data.Dataset:
+    """Approximate top-k: probe the ``nprobe`` nearest of ``nlist``
+    k-means cells.  Centroids are trained on a driver-side bounded
+    sample and broadcast once; at scale ``sample_rows`` stays fixed
+    while the scan streams."""
+    ids, mat = _load_matrix(sf_dir)
+    train = _normalize(mat[:sample_rows])
+    cent = _kmeans(train, nlist)
+    qids, qmat = _load_matrix(sf_dir, where_mod=QUERY_MOD)
+    qn = _normalize(qmat)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    qref = ray.put((qids, qn, cent, probe))
+    cands = read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        _IVFTopK,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+        concurrency=(1, 8),
+    )
+    return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+
+
+# --- near-dup: exact baseline --------------------------------------------
+
+
+class _AllPairs:
+    def __init__(self, mref, threshold: float):
+        self.all_ids, self.all_mat = ray.get(mref)  # normalized
+        self.threshold = threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        mat = _normalize(batch_matrix(b["embedding"]))
+        scores = mat @ self.all_mat.T  # (n, N)
+        hit = scores >= self.threshold
+        # emit each unordered pair once: left id < right id
+        hit &= ids[:, None] < self.all_ids[None, :]
+        li, ri = np.nonzero(hit)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[li]),
+                "vec_b": pa.array(self.all_ids[ri]),
+            }
+        )
+
+
+def cosine_neardup(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
+    """(vec_a, vec_b): unordered pairs with exact cosine >= threshold
+    over the near-dup corpus.  O(n^2) verify baseline (broadcast right
+    side); use :func:`cosine_neardup_lsh` as the scale path."""
+    mref = ray.put(_corpus_matrix(sf_dir))
+    return neardup_corpus(sf_dir).map_batches(
+        _AllPairs,
+        fn_constructor_args=(mref, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+        concurrency=(1, 8),
+    )
+
+
+# --- near-dup: LSH scale path --------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 99) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits))
+
+
+def cosine_neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    band_bits: int = 8,
+) -> ray.data.Dataset:
+    """Hyperplane-LSH near-dup: sign signatures -> banded buckets ->
+    exact-cosine verify inside each bucket.  Output equals
+    :func:`cosine_neardup` wherever band recall is 1 (see module
+    docstring for the bound)."""
+    nbits = n_bands * band_bits
+    planes = _hyperplanes(EMB_DIM, nbits)
+    pref = ray.put(planes)
+
+    class BandRows:
+        def __init__(self):
+            self.planes = ray.get(pref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy()
+            mat = _normalize(batch_matrix(b["embedding"]))
+            bits = (mat @ self.planes) > 0  # (n, nbits)
+            by = bits.reshape(len(ids), n_bands, band_bits)
+            weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
+            keys = (by * weights).sum(axis=2)  # (n, n_bands)
+            n = len(ids)
+            flat = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(mat, n_bands, axis=0).ravel()), mat.shape[1]
+            )
+            return pa.table(
+                {
+                    "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                    "key": pa.array(keys.ravel()),
+                    "vec_id": pa.array(np.repeat(ids, n_bands)),
+                    "emb_n": flat,
+                }
+            )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
+        mat = batch_matrix(group["emb_n"])[order][keep]
+        ids = ids[keep]
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
+            )
+        cos = mat @ mat.T
+        ia, ib = np.triu_indices(n, k=1)
+        ok = cos[ia, ib] >= threshold
+        return pa.table({"vec_a": pa.array(ids[ia][ok]), "vec_b": pa.array(ids[ib][ok])})
+
+    bands = neardup_corpus(sf_dir).map_batches(
+        BandRows,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+        concurrency=(1, 8),
+    )
+    pairs = bands.groupby(["band", "key"]).map_groups(verify, batch_format="pyarrow")
+    # a pair can collide in several bands — dedupe
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_nb"))
+        .drop_columns(["_nb"])
+    )
