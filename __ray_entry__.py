@@ -206,6 +206,24 @@ def _q_dedup_simhash(sf_dir: str):
     return D.simhash_pairs(sf_dir, max_hamming=3)
 
 
+def _q_flagship_resumable(sf_dir: str):
+    """Flagship via the checkpoint-resume runtime: per-shard partials
+    with lineage records, then the associative final combine.  Fresh
+    checkpoint dir each run so the correctness gate always exercises
+    the commit path (resume semantics are covered by tests)."""
+    import shutil
+    import tempfile
+
+    from rios_ray.pipelines.resumable import finalize_flagship, resumable_flagship
+
+    out_dir = tempfile.mkdtemp(prefix="graft_ckpt_", dir="/tmp")
+    try:
+        resumable_flagship(sf_dir, out_dir)
+        return finalize_flagship(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_knn_embeddings(sf_dir: str):
     from rios_ray.pipelines import embeddings as E
 
@@ -256,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
+        "flagship_resumable": _q_flagship_resumable,
         "knn_embeddings": _q_knn_embeddings,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
         "emb_neardup": _q_emb_neardup,
@@ -425,6 +444,12 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY c.poly_id, p.category
         """,
         "flagship_cell_category": f"""
+            SELECT {_cell_sql()} AS cell, p.category, count(*) AS n_pages
+              FROM ({_pip_pairs_sql()}) c
+              JOIN read_parquet('{ppath}') p USING (poly_id)
+             GROUP BY 1, 2
+        """,
+        "flagship_resumable": f"""
             SELECT {_cell_sql()} AS cell, p.category, count(*) AS n_pages
               FROM ({_pip_pairs_sql()}) c
               JOIN read_parquet('{ppath}') p USING (poly_id)

@@ -40,9 +40,10 @@ def geocoded_pages(
     s2_level: int = DEFAULT_S2_LEVEL,
     hex_res: int = DEFAULT_HEX_RES,
     keep_text: bool = True,
+    paths: list[str] | None = None,
 ) -> ray.data.Dataset:
     """pages -> extract_text (from html, byte-identical) -> geocode -> cells."""
-    ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"])
+    ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"], paths=paths)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=BATCH_SIZE)
     ds = ds.map_batches(geocode, batch_format="pyarrow", zero_copy_batch=True,

@@ -13,14 +13,20 @@ import ray.data
 from .. import synth
 
 
-def read_pages(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read_pages(
+    sf_dir: str,
+    columns: list[str] | None = None,
+    paths: list[str] | None = None,
+) -> ray.data.Dataset:
     """Pages table for a testdata sf dir (synthesized idempotently).
 
     ``columns`` prunes at the read (parquet column projection) — a read
     that loads `html` for a lat/lon-only pipeline is wasted I/O.
+    ``paths`` restricts the read to specific shard files (the
+    checkpoint-resume unit — see rios_ray.runtime).
     """
     path = synth.ensure_pages(sf_dir)
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(paths if paths is not None else path, columns=columns)
 
 
 def read_polygons() -> ray.data.Dataset:
