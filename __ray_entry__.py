@@ -29,6 +29,10 @@ SF001 = "/root/testdata/sf0.01"
 
 _GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 
+# frame-sampling constants, mirrored from rios_ray.pipelines.multimodal
+_FRAME_BYTES = 32
+_FRAME_EVERY = 2
+
 
 def _pages_sql(sf_dir: str = SF001) -> str:
     """Parsed pages CTE: url, lang, text, lat, lon from the same parquet."""
@@ -224,6 +228,30 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_media_image_features(sf_dir: str):
+    from rios_ray.pipelines import multimodal as M
+
+    return M.image_features(sf_dir).drop_columns(["luma_hist"])
+
+
+def _q_media_frame_samples(sf_dir: str):
+    import pyarrow as pa
+
+    from rios_ray.pipelines import multimodal as M
+
+    # frames are opaque binary in the operator; the synth payloads are
+    # ASCII, so cast to string for the DuckDB comparison (BLOBs have no
+    # substring in DuckDB 1.0)
+    def as_str(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("frame"), "frame", b["frame"].cast(pa.string())
+        )
+
+    return M.frame_samples(sf_dir).map_batches(
+        as_str, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_knn_embeddings(sf_dir: str):
     from rios_ray.pipelines import embeddings as E
 
@@ -275,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
         "flagship_resumable": _q_flagship_resumable,
+        "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
+        "media_frame_samples": _q_media_frame_samples,
         "knn_embeddings": _q_knn_embeddings,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
         "emb_neardup": _q_emb_neardup,
@@ -454,6 +484,22 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_pip_pairs_sql()}) c
               JOIN read_parquet('{ppath}') p USING (poly_id)
              GROUP BY 1, 2
+        """,
+        "media_frame_samples": f"""
+            WITH m AS (
+                SELECT url, html,
+                       CAST(floor(octet_length(html) / {_FRAME_BYTES}) AS BIGINT) AS n_frames
+                  FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+            ),
+            idx AS (
+                SELECT url, html,
+                       unnest(generate_series(0, n_frames - 1, {_FRAME_EVERY})) AS frame_idx
+                  FROM m WHERE n_frames > 0
+            )
+            SELECT url, frame_idx,
+                   substring(decode(html), CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
+                             {_FRAME_BYTES}) AS frame
+              FROM idx
         """,
         "knn_pages": f"""
             WITH pts AS ({_pages_sql()}),

@@ -1,0 +1,98 @@
+"""Multimodal pipelines over the pages table's binary payload column.
+
+The pages ``html`` binary column doubles as the opaque media payload
+(per input_hint there is exactly one binary column); typed metadata
+(height/width) is derived deterministically from the url hash so the
+whole pipeline is reproducible with no side files.  Decode is stubbed
+(no codecs in this container — see stages/multimodal.py); resize,
+feature extraction and frame sampling are real vectorized kernels.
+
+Actor pools: decode/resize/features are callable classes on
+``map_batches(Cls, concurrency=(1, N), batch_size=SMALL)`` — binary
+payloads mean small batches, and the codec slot is initialised once
+per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..dedup.hashing import fnv1a64
+from ..sources.pages import read_pages
+from ..stages.multimodal import (
+    DEFAULT_MEDIA_BATCH,
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageFeatureStage,
+    ResizeStage,
+)
+
+FRAME_BYTES = 32
+FRAME_EVERY = 2
+
+
+def media_table(sf_dir: str) -> ray.data.Dataset:
+    """(url, payload, meta_height, meta_width): the typed-binary view."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        h = fnv1a64(urls)
+        heights = (8 + (h % np.uint64(9))).astype(np.int32)
+        widths = (8 + ((h >> np.uint64(8)) % np.uint64(9))).astype(np.int32)
+        return pa.table(
+            {
+                "url": b["url"],
+                "payload": b["html"],
+                "meta_height": pa.array(heights),
+                "meta_width": pa.array(widths),
+            }
+        )
+
+    return read_pages(sf_dir, columns=["url", "html"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=DEFAULT_MEDIA_BATCH,
+    )
+
+
+def image_features(
+    sf_dir: str, out_h: int = 8, out_w: int = 8, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    """decode (stub codec) -> resize (real) -> per-channel stats (real)."""
+    ds = media_table(sf_dir)
+    ds = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"codec": "auto"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=DEFAULT_MEDIA_BATCH,
+        concurrency=concurrency,
+    )
+    ds = ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=DEFAULT_MEDIA_BATCH,
+        concurrency=concurrency,
+    )
+    return ds.map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=DEFAULT_MEDIA_BATCH,
+        concurrency=concurrency,
+    )
+
+
+def frame_samples(sf_dir: str, concurrency=(1, 8)) -> ray.data.Dataset:
+    """(url, frame_idx, frame): every FRAME_EVERY-th FRAME_BYTES chunk."""
+    return media_table(sf_dir).map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_bytes": FRAME_BYTES, "every": FRAME_EVERY},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=DEFAULT_MEDIA_BATCH,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,238 @@
+"""Multimodal (image/audio/video-as-binary) actor-pool stages.
+
+Opaque ``binary`` payload columns + typed metadata, processed by
+callable-class stages for ``map_batches(Cls, concurrency=N)`` — the
+same stateful-stage contract as the reference's per-worker caches
+(``/root/reference/rios/imagereader.py:76-84``: open once per worker,
+reuse per block).
+
+The container ships no image/audio codecs, so **decode is stubbed**:
+
+- ``ImageDecodeStage(codec="auto")`` uses PIL if importable, else the
+  deterministic fake codec (``codec="fake"``), else raises
+  ``NotImplementedError`` (``codec="real"`` without PIL).
+- The fake codec derives pixels from the payload bytes with a seeded
+  xorshift fill — deterministic per payload, so downstream stages
+  (resize, features, sampling) are REAL, testable numpy kernels with
+  stable golden values.
+
+Tensor layout: pixels travel as flat ``list<uint8>`` + (height, width,
+channels) columns — zero-copy reshape to (h, w, c) numpy views inside
+each stage, mirroring the dense band-major block payloads of the
+reference (``/root/reference/rios/imagereader.py:65-121``).
+
+Batch sizing: payloads are large; callers should use a small
+``batch_size`` (DEFAULT_MEDIA_BATCH) so batch x concurrency stays in
+worker heaps — the streaming executor's backpressure does the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_MEDIA_BATCH = 64
+_CHANNELS = 3
+
+
+def _payload_bytes(col) -> list[bytes]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return [b.as_py() if b is not None else b"" for b in col]
+
+
+def _pixels_table(
+    base: dict, pixel_rows: list[np.ndarray], heights: np.ndarray, widths: np.ndarray
+) -> pa.Table:
+    flat = (
+        np.concatenate([p.ravel() for p in pixel_rows])
+        if pixel_rows
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lengths = heights.astype(np.int64) * widths.astype(np.int64) * _CHANNELS
+    offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    cols = dict(base)
+    cols["pixels"] = pa.LargeListArray.from_arrays(
+        pa.array(offs, type=pa.int64()), pa.array(flat, type=pa.uint8())
+    )
+    cols["height"] = pa.array(heights.astype(np.int32))
+    cols["width"] = pa.array(widths.astype(np.int32))
+    cols["channels"] = pa.array(np.full(len(heights), _CHANNELS, dtype=np.int32))
+    return pa.table(cols)
+
+
+def _rows_matrices(batch: pa.Table) -> list[np.ndarray]:
+    """(h, w, c) views of each row's pixels — flatten is zero-copy."""
+    px = batch["pixels"]
+    if isinstance(px, pa.ChunkedArray):
+        px = px.combine_chunks()
+    flat = px.flatten().to_numpy(zero_copy_only=False)
+    offs = px.offsets.to_numpy(zero_copy_only=False)
+    h = batch["height"].to_numpy()
+    w = batch["width"].to_numpy()
+    return [
+        flat[offs[i]: offs[i + 1]].reshape(h[i], w[i], _CHANNELS)
+        for i in range(len(h))
+    ]
+
+
+def fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Deterministic stand-in for a real image codec.
+
+    Seeds an xorshift64* stream from the payload's FNV hash and fills
+    (h, w, 3) uint8 — stable across runs/processes, unique per payload.
+    """
+    h = np.uint64(14695981039346656037)
+    with np.errstate(over="ignore"):
+        for byte in payload[:64]:  # bounded: hash a prefix, not the blob
+            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+        n = height * width * _CHANNELS
+        n_words = -(-n // 8)
+        x = (h + np.arange(1, n_words + 1, dtype=np.uint64)) | np.uint64(1)
+        x ^= x >> np.uint64(12)
+        x ^= x << np.uint64(25)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x2545F4914F6CDD1D)
+    return x.view(np.uint8)[:n].reshape(height, width, _CHANNELS)
+
+
+class ImageDecodeStage:
+    """binary payload -> pixel tensor rows.
+
+    ``__init__`` resolves the codec ONCE per actor (the expensive
+    model/codec load slot); ``__call__`` is per batch.
+    """
+
+    def __init__(self, codec: str = "auto", payload_col: str = "payload",
+                 id_col: str = "url"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._pil = None
+        if codec in ("auto", "real"):
+            try:
+                from PIL import Image  # noqa: F401 — not in this container
+
+                self._pil = Image
+            except ImportError:
+                if codec == "real":
+                    raise NotImplementedError(
+                        "real image decode requires PIL, which is not "
+                        "installed in this environment; use codec='fake'"
+                    )
+        self.codec = "pil" if self._pil is not None else "fake"
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = _payload_bytes(b[self.payload_col])
+        heights = b["meta_height"].to_numpy()
+        widths = b["meta_width"].to_numpy()
+        if self.codec == "pil":  # pragma: no cover — PIL absent here
+            import io
+
+            rows = [
+                np.asarray(self._pil.open(io.BytesIO(p)).convert("RGB"), dtype=np.uint8)
+                for p in payloads
+            ]
+            heights = np.array([r.shape[0] for r in rows])
+            widths = np.array([r.shape[1] for r in rows])
+        else:
+            rows = [
+                fake_decode(p, int(h), int(w))
+                for p, h, w in zip(payloads, heights, widths)
+            ]
+        return _pixels_table({self.id_col: b[self.id_col]}, rows, heights, widths)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real nearest-neighbor resize (pure numpy, no codec needed)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri[:, None], ci[None, :]]
+
+
+class ResizeStage:
+    """pixel tensor rows -> fixed (out_h, out_w) tensor rows."""
+
+    def __init__(self, out_h: int, out_w: int, id_col: str = "url"):
+        self.out_h, self.out_w, self.id_col = out_h, out_w, id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        rows = [resize_nearest(m, self.out_h, self.out_w) for m in _rows_matrices(b)]
+        n = len(rows)
+        return _pixels_table(
+            {self.id_col: b[self.id_col]},
+            rows,
+            np.full(n, self.out_h),
+            np.full(n, self.out_w),
+        )
+
+
+class ImageFeatureStage:
+    """pixel tensor rows -> per-channel mean/std + luma histogram.
+
+    The aggregation kernels are real (vectorized numpy); only decode
+    upstream is faked.  Output schema: id, mean_r/g/b, std_r/g/b,
+    luma_hist (list<int64>, 16 bins).
+    """
+
+    N_BINS = 16
+
+    def __init__(self, id_col: str = "url"):
+        self.id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        means, stds, hists = [], [], []
+        for m in _rows_matrices(b):
+            f = m.reshape(-1, _CHANNELS).astype(np.float64)
+            means.append(f.mean(axis=0))
+            stds.append(f.std(axis=0))
+            luma = 0.299 * f[:, 0] + 0.587 * f[:, 1] + 0.114 * f[:, 2]
+            hists.append(np.bincount(
+                (luma / 256.0 * self.N_BINS).astype(np.int64), minlength=self.N_BINS
+            ))
+        mean = np.array(means)
+        std = np.array(stds)
+        return pa.table(
+            {
+                self.id_col: b[self.id_col],
+                "mean_r": pa.array(mean[:, 0]),
+                "mean_g": pa.array(mean[:, 1]),
+                "mean_b": pa.array(mean[:, 2]),
+                "std_r": pa.array(std[:, 0]),
+                "std_g": pa.array(std[:, 1]),
+                "std_b": pa.array(std[:, 2]),
+                "luma_hist": pa.array([h_.tolist() for h_ in hists],
+                                      type=pa.list_(pa.int64())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """video-as-binary -> every k-th fixed-size frame chunk.
+
+    Plumbing-real frame sampler: the payload is treated as a stream of
+    ``frame_bytes``-sized frames (a real demuxer slots in here); emits
+    one row per sampled frame with (id, frame_idx, frame binary).
+    """
+
+    def __init__(self, frame_bytes: int = 4096, every: int = 10,
+                 payload_col: str = "payload", id_col: str = "url"):
+        self.frame_bytes, self.every = frame_bytes, every
+        self.payload_col, self.id_col = payload_col, id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b[self.id_col].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for i, p in zip(ids, _payload_bytes(b[self.payload_col])):
+            n_frames = len(p) // self.frame_bytes
+            for k in range(0, n_frames, self.every):
+                out_id.append(i)
+                out_idx.append(k)
+                out_frame.append(p[k * self.frame_bytes:(k + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, type=b[self.id_col].type),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "frame": pa.array(out_frame, type=pa.binary()),
+            }
+        )
