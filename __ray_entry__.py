@@ -228,6 +228,30 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_rat_derive(sf_dir: str):
+    import numpy as np
+
+    from rios_ray import ratapplier as R
+
+    def user_fn(inputs, outputs):
+        outputs.doc_id = inputs.doc_id
+        outputs.chars_k = inputs.n_chars / 1000.0
+        outputs.long_doc = (inputs.n_chars > 500).astype(np.int32)
+
+    return R.rat_apply(user_fn, f"{sf_dir}/documents.parquet", block_len=100_000)
+
+
+def _q_rat_colstats(sf_dir: str):
+    import pandas as pd
+
+    from rios_ray import ratapplier as R
+
+    stats = R.rat_column_stats(
+        f"{sf_dir}/documents.parquet", "n_chars", weight_col="doc_id"
+    )
+    return pd.DataFrame([stats])
+
+
 def _q_media_image_features(sf_dir: str):
     from rios_ray.pipelines import multimodal as M
 
@@ -303,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
         "flagship_resumable": _q_flagship_resumable,
+        "rat_derive": _q_rat_derive,
+        "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
         "media_frame_samples": _q_media_frame_samples,
         "knn_embeddings": _q_knn_embeddings,
@@ -397,7 +423,28 @@ def _dedup_oracle_sql() -> dict[str, str]:
           FROM pairs
          WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
     """
+    rat_stats = """
+        WITH p AS (
+            SELECT sum(doc_id * n_chars) AS wsum,
+                   sum(doc_id * n_chars * n_chars) AS wsqsum,
+                   sum(doc_id) AS wcount,
+                   min(n_chars) FILTER (doc_id > 0) AS minval,
+                   max(n_chars) FILTER (doc_id > 0) AS maxval
+              FROM documents)
+        SELECT CAST(wsum AS DOUBLE) / wcount AS mean,
+               sqrt(GREATEST(CAST(wsqsum AS DOUBLE) / wcount
+                    - (CAST(wsum AS DOUBLE) / wcount) * (CAST(wsum AS DOUBLE) / wcount), 0.0)) AS stddev,
+               CAST(minval AS DOUBLE) AS min, CAST(maxval AS DOUBLE) AS max,
+               CAST(wsum AS DOUBLE) AS sum, CAST(wcount AS DOUBLE) AS count
+          FROM p
+    """
     return {
+        "rat_derive": """
+            SELECT doc_id, n_chars/1000.0 AS chars_k,
+                   CAST(n_chars > 500 AS INT) AS long_doc
+              FROM documents
+        """,
+        "rat_colstats": rat_stats,
         "dedup_exact": rf"""
             WITH corpus AS ({DUP_CORPUS_SQL})
             SELECT md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS text_md5,

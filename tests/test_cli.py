@@ -1,0 +1,52 @@
+"""CLI tests: calcstats writes the sidecar, printstats reads it back
+(reference cmdline/rioscalcstats.py + riosprintstats.py analogues)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rios_ray import cli, synth
+from rios_ray.gridmodel import PixelGrid
+from rios_ray.sources.tileraster import read_stats_sidecar, write_tile_raster
+
+
+@pytest.fixture()
+def raster_path(tmp_path):
+    rc = synth.gen_rowcol2_array()  # 2 bands, 500x500 uint16
+    t = synth.raster_to_tile_table(rc)
+    grid = PixelGrid(500000, 505000, 6995000, 7000000, 10.0, 10.0, "EPSG:28355")
+    path = str(tmp_path / "rc.parquet")
+    write_tile_raster(path, t, grid, 2, np.uint16)
+    return path, rc
+
+
+def test_calcstats_then_printstats(ray_session, raster_path, capsys):
+    path, rc = raster_path
+    assert read_stats_sidecar(path) is None
+
+    rcode = cli.main(["calcstats", path])
+    assert rcode == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for band in (0, 1):
+        arr = rc[band].astype(np.float64)
+        s = out["stats"][str(band)]
+        assert s["min"] == arr.min() and s["max"] == arr.max()
+        assert s["mean"] == pytest.approx(arr.mean(), rel=1e-12)
+        # independent numpy oracle for the histogram-derived estimates
+        counts = np.bincount(rc[band].ravel())
+        cum = np.cumsum(counts)
+        want_median = int(np.searchsorted(cum, cum[-1] / 2.0))
+        assert s["median"] == want_median
+        assert s["mode"] == int(np.argmax(counts))
+
+    rcode = cli.main(["printstats", path])
+    assert rcode == 0
+    back = json.loads(capsys.readouterr().out.strip())
+    assert back["stats"] == out["stats"]
+
+
+def test_printstats_missing_stats(raster_path, capsys):
+    path, _ = raster_path
+    assert cli.main(["printstats", path]) == 1
+    assert "no stats stored" in capsys.readouterr().out
