@@ -123,13 +123,10 @@ def _q_pip_join_pairs(sf_dir: str):
 
 
 def _q_pip_join_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from rios_ray.functions.agg import grouped_count
     from rios_ray.pipelines.pages import spatial_join
 
-    return spatial_join(sf_dir).groupby(["poly_id", "category"]).aggregate(
-        Count(alias_name="n_pages")
-    )
+    return grouped_count(spatial_join(sf_dir), ["poly_id", "category"], alias="n_pages")
 
 
 def _q_flagship(sf_dir: str):

@@ -26,7 +26,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
 
 from ..dedup import hashing as H
 from ..dedup.shingles import DEFAULT_NGRAM, explode_grams, gram_hash_arrays
@@ -89,20 +88,25 @@ def dup_corpus(sf_dir: str) -> ray.data.Dataset:
 
 
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
-    """(text_md5, keep_id, n_docs) — hash-partitioned first-wins dedup."""
+    """(text_md5, keep_id, n_docs) — hash-partitioned first-wins dedup.
 
-    def partial(b: pa.Table) -> pa.Table:
+    Per-batch combine, then the vectorized two-level aggregate
+    (functions.agg.hash_grouped_aggregate — Ray's Aggregate operator
+    pays per-group Python overhead; at web scale every md5 is its own
+    group, so that overhead is O(corpus))."""
+    from ..functions.agg import hash_grouped_aggregate
+
+    def with_md5(b: pa.Table) -> pa.Table:
         b = md5_fingerprint(b)
-        g = pa.table({"text_md5": b["text_md5"], "doc_id": b["doc_id"]})
-        agg = g.group_by("text_md5").aggregate([("doc_id", "min"), ("doc_id", "count")])
-        return agg.rename_columns(["text_md5", "keep_id", "n_docs"])
+        return pa.table({"text_md5": b["text_md5"], "doc_id": b["doc_id"]})
 
     ds = dup_corpus(sf_dir).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+        with_md5, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
-    return ds.groupby("text_md5").aggregate(
-        Min("keep_id", alias_name="keep_id"),
-        Sum("n_docs", alias_name="n_docs"),
+    return hash_grouped_aggregate(
+        ds,
+        ["text_md5"],
+        [("doc_id", "min", "keep_id"), (None, "count", "n_docs")],
     )
 
 
@@ -159,8 +163,10 @@ def jaccard_pairs(
     pairs = grams.groupby("gram").map_groups(
         _emit_pairs(df_cap), batch_format="pyarrow"
     )
-    shared = pairs.groupby(["doc_a", "doc_b", "n_a", "n_b"]).aggregate(
-        Count(alias_name="shared")
+    from ..functions.agg import hash_grouped_aggregate
+
+    shared = hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b", "n_a", "n_b"], [(None, "count", "shared")]
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -229,12 +235,12 @@ def minhash_candidates(
     pairs = bands.groupby(["band", "key"]).map_groups(
         _emit_pairs_nocount, batch_format="pyarrow"
     )
-    # dedupe across bands
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nb"))
-        .drop_columns(["_nb"])
-    )
+    # dedupe across bands (vectorized two-level aggregate)
+    from ..functions.agg import hash_grouped_aggregate
+
+    return hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [(None, "count", "_nb")]
+    ).drop_columns(["_nb"])
 
 
 def _verify_jaccard(threshold: float, ngram: int):
@@ -369,7 +375,8 @@ def simhash_pairs(
         emit_verified, batch_format="pyarrow"
     )
     # a pair can match in multiple bands — dedupe (hamming is identical)
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    from ..functions.agg import hash_grouped_aggregate
+
+    return hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [("hamming", "min", "hamming")]
     )

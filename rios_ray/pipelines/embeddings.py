@@ -40,7 +40,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from ..sources.embeddings import batch_matrix, embeddings_file, read_embeddings
 
@@ -378,9 +377,9 @@ def cosine_neardup_lsh(
         concurrency=(1, 8),
     )
     pairs = bands.groupby(["band", "key"]).map_groups(verify, batch_format="pyarrow")
-    # a pair can collide in several bands — dedupe
-    return (
-        pairs.groupby(["vec_a", "vec_b"])
-        .aggregate(Count(alias_name="_nb"))
-        .drop_columns(["_nb"])
-    )
+    # a pair can collide in several bands — dedupe (vectorized aggregate)
+    from ..functions.agg import hash_grouped_aggregate
+
+    return hash_grouped_aggregate(
+        pairs, ["vec_a", "vec_b"], [(None, "count", "_nb")]
+    ).drop_columns(["_nb"])

@@ -68,8 +68,6 @@ def finalize_flagship(out_dir: str) -> ray.data.Dataset:
         glob.glob(os.path.join(out_dir, "part=*", "**", "*.parquet"), recursive=True)
     )
     ds = ray.data.read_parquet(files)
-    from ray.data.aggregate import Sum
+    from ..functions.agg import grouped_sum
 
-    return ds.groupby(["cell", "category"]).aggregate(
-        Sum("n_pages", alias_name="n_pages")
-    )
+    return grouped_sum(ds, ["cell", "category"], "n_pages", "n_pages")
