@@ -43,39 +43,6 @@ def _part_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarra
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
-def _vector_combine(keys: list[str], value_col: str, alias: str):
-    def combine(b: pa.Table) -> pa.Table:
-        if "_part" in b.column_names:
-            b = b.drop_columns(["_part"])
-        g = b.group_by(keys).aggregate([(value_col, "sum")])
-        return g.rename_columns(list(keys) + [alias])
-
-    return combine
-
-
-def hash_grouped_sum(
-    ds,
-    keys: list[str],
-    value_col: str,
-    alias: str,
-    num_partitions: int = 16,
-):
-    """sum(value) per key group: per-batch partial -> hash partition on
-    keys -> vectorized per-partition combine."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(keys).aggregate([(value_col, "sum")])
-        g = g.rename_columns(list(keys) + ["__ps"])
-        return g.append_column("_part", pa.array(_part_of(g, keys, num_partitions)))
-
-    partials = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
-    )
-    return partials.groupby("_part").map_groups(
-        _vector_combine(keys, "__ps", alias), batch_format="pyarrow"
-    )
-
-
 _FINAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
@@ -84,12 +51,24 @@ def hash_grouped_aggregate(
     keys: list[str],
     aggs: list[tuple[str | None, str, str]],
     num_partitions: int = 16,
+    final_mode: str = "partition",
 ):
     """General partial+final aggregate: ``aggs`` is a list of
     ``(value_col, fn, alias)`` with fn in {sum, count, min, max}
-    (count ignores value_col).  Same two-level plan as
-    :func:`hash_grouped_sum`; every combine is pyarrow C++.
+    (count ignores value_col).  Every combine is pyarrow C++.
+
+    ``final_mode``:
+
+    - ``"partition"`` (default): hash-partition partials on the keys,
+      combine per partition — scales to unbounded key cardinality
+      (dedup md5s, pair keys).
+    - ``"tree"``: gather all partials into one block and combine once —
+      no keyed exchange (the sort barrier costs a serial tail, measured
+      ~2 s at sf0.5).  Use ONLY when the distinct-key count is bounded
+      (grid cells x categories), since the final combine is one task.
     """
+
+    tree = final_mode == "tree"
 
     def partial(batch: pa.Table) -> pa.Table:
         spec = [
@@ -98,10 +77,13 @@ def hash_grouped_aggregate(
         ]
         g = batch.group_by(keys).aggregate(spec)
         g = g.rename_columns(list(keys) + [a for _, _, a in aggs])
+        if tree:
+            return g
         return g.append_column("_part", pa.array(_part_of(g, keys, num_partitions)))
 
     def final(b: pa.Table) -> pa.Table:
-        b = b.drop_columns(["_part"])
+        if "_part" in b.column_names:
+            b = b.drop_columns(["_part"])
         spec = [(a, _FINAL_FN[fn]) for _, fn, a in aggs]
         g = b.group_by(keys).aggregate(spec)
         return g.rename_columns(list(keys) + [a for _, _, a in aggs])
@@ -109,25 +91,24 @@ def hash_grouped_aggregate(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
     )
+    if tree:
+        return partials.repartition(1).map_batches(
+            final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
     return partials.groupby("_part").map_groups(final, batch_format="pyarrow")
 
 
-def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int = 16):
+def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int = 16,
+                  final_mode: str = "partition"):
     """count(*) per key group, pre-aggregated per batch."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(keys).aggregate([([], "count_all")])
-        g = g.rename_columns(list(keys) + ["__pc"])
-        return g.append_column("_part", pa.array(_part_of(g, keys, num_partitions)))
-
-    partials = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
-    )
-    return partials.groupby("_part").map_groups(
-        _vector_combine(keys, "__pc", alias), batch_format="pyarrow"
+    return hash_grouped_aggregate(
+        ds, keys, [(None, "count", alias)], num_partitions, final_mode
     )
 
 
-def grouped_sum(ds, keys: list[str], value_col: str, alias: str, num_partitions: int = 16):
+def grouped_sum(ds, keys: list[str], value_col: str, alias: str, num_partitions: int = 16,
+                final_mode: str = "partition"):
     """sum(value) per key group, pre-aggregated per batch."""
-    return hash_grouped_sum(ds, keys, value_col, alias, num_partitions)
+    return hash_grouped_aggregate(
+        ds, keys, [(value_col, "sum", alias)], num_partitions, final_mode
+    )

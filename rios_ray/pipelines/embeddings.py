@@ -42,6 +42,7 @@ import ray
 import ray.data
 
 from ..sources.embeddings import batch_matrix, embeddings_file, read_embeddings
+from ..util import default_pool
 
 BATCH_SIZE = 2048
 EMB_COPY_OFFSET = 1_000_000
@@ -180,7 +181,7 @@ def knn_embeddings(sf_dir: str, k: int = DEFAULT_K) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -262,7 +263,7 @@ def knn_embeddings_ivf(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
 
@@ -302,7 +303,7 @@ def cosine_neardup(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
 
 
@@ -374,7 +375,7 @@ def cosine_neardup_lsh(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
     )
     pairs = bands.groupby(["band", "key"]).map_groups(verify, batch_format="pyarrow")
     # a pair can collide in several bands — dedupe (vectorized aggregate)

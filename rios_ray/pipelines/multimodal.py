@@ -57,9 +57,13 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
 
 
 def image_features(
-    sf_dir: str, out_h: int = 8, out_w: int = 8, concurrency=(1, 8)
+    sf_dir: str, out_h: int = 8, out_w: int = 8, concurrency=None
 ) -> ray.data.Dataset:
     """decode (stub codec) -> resize (real) -> per-channel stats (real)."""
+    from ..util import default_pool
+
+    if concurrency is None:
+        concurrency = default_pool()
     ds = media_table(sf_dir)
     ds = ds.map_batches(
         ImageDecodeStage,
@@ -86,8 +90,12 @@ def image_features(
     )
 
 
-def frame_samples(sf_dir: str, concurrency=(1, 8)) -> ray.data.Dataset:
+def frame_samples(sf_dir: str, concurrency=None) -> ray.data.Dataset:
     """(url, frame_idx, frame): every FRAME_EVERY-th FRAME_BYTES chunk."""
+    from ..util import default_pool
+
+    if concurrency is None:
+        concurrency = default_pool()
     return media_table(sf_dir).map_batches(
         FrameSampleStage,
         fn_constructor_kwargs={"frame_bytes": FRAME_BYTES, "every": FRAME_EVERY},

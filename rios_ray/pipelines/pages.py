@@ -23,8 +23,8 @@ from ..stages.cellassign import (
     assign_cells,
 )
 from ..stages.geocode import extract_text, geocode
-from ..stages.knn import KnnPartialStage, knn_final_merge
-from ..stages.pip import PIPJoinStage
+from ..stages.knn import KnnPartialStage, knn_final_merge, knn_partial_fn
+from ..stages.pip import PIPJoinStage, pip_join_fn
 
 GEO_COLS = ["url", "warc_ts", "lang", "extracted_text", "lat", "lon"]
 
@@ -59,18 +59,32 @@ def geocoded_pages(
     )
 
 
-def spatial_join(sf_dir: str, concurrency=(1, 8), **geo_kwargs) -> ray.data.Dataset:
-    """Broadcast PIP join: one output row per (page, containing polygon)."""
+def spatial_join(sf_dir: str, concurrency=None, **geo_kwargs) -> ray.data.Dataset:
+    """Broadcast PIP join: one output row per (page, containing polygon).
+
+    Runs on the shared TASK pool with a per-worker index cache
+    (stages.pip.pip_join_fn): same build-once-per-process semantics as
+    an actor pool, none of the per-execution pool cold-start (which
+    capped effective parallelism at ~5x on a 32-cpu run).  Pass
+    ``concurrency`` to force a dedicated actor pool instead.
+    """
     ppath, _ = synth.ensure_polygons()
     polys_ref = ray.put(pq.read_table(ppath))
     ds = geocoded_pages(sf_dir, keep_text=False, **geo_kwargs)
+    if concurrency is not None:
+        return ds.map_batches(
+            PIPJoinStage,
+            fn_constructor_kwargs={"polygons": polys_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=BATCH_SIZE,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        PIPJoinStage,
-        fn_constructor_kwargs={"polygons": polys_ref},
+        pip_join_fn(polys_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=concurrency,
     )
 
 
@@ -83,20 +97,21 @@ def flagship(sf_dir: str) -> ray.data.Dataset:
     from ..functions.agg import grouped_count
 
     joined = spatial_join(sf_dir)
-    return grouped_count(joined, ["cell", "category"], alias="n_pages")
+    # tree final: cell x category cardinality is bounded by the grid
+    return grouped_count(joined, ["cell", "category"], alias="n_pages",
+                         final_mode="tree")
 
 
-def knn_pages(sf_dir: str, k: int = 10, concurrency=(1, 8)) -> ray.data.Dataset:
-    """Exact kNN of every broadcast query point over all pages."""
+def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Exact kNN of every broadcast query point over all pages (task
+    pool + per-worker query-matrix cache, see spatial_join)."""
     qpath = synth.ensure_knn_queries()
     q_ref = ray.put(pq.read_table(qpath))
     ds = geocoded_pages(sf_dir, keep_text=False)
     partial = ds.map_batches(
-        KnnPartialStage,
-        fn_constructor_kwargs={"queries": q_ref, "k": k},
+        knn_partial_fn(q_ref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
-        concurrency=concurrency,
     )
     return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")

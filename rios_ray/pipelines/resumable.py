@@ -25,7 +25,7 @@ import ray.data
 from .. import synth
 from ..functions.agg import grouped_count
 from ..runtime import run_resumable, shard_partitions
-from ..stages.pip import PIPJoinStage
+from ..stages.pip import pip_join_fn
 from .pages import BATCH_SIZE, geocoded_pages
 
 
@@ -33,12 +33,10 @@ def _build_shard_partials(sf_dir: str, polys_ref):
     def build(name: str, inputs: list[str]) -> ray.data.Dataset:
         ds = geocoded_pages(sf_dir, keep_text=False, paths=inputs)
         joined = ds.map_batches(
-            PIPJoinStage,
-            fn_constructor_kwargs={"polygons": polys_ref},
+            pip_join_fn(polys_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=BATCH_SIZE,
-            concurrency=(1, 8),
         )
         return grouped_count(joined, ["cell", "category"], alias="n_pages")
 
@@ -70,4 +68,5 @@ def finalize_flagship(out_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(files)
     from ..functions.agg import grouped_sum
 
-    return grouped_sum(ds, ["cell", "category"], "n_pages", "n_pages")
+    return grouped_sum(ds, ["cell", "category"], "n_pages", "n_pages",
+                       final_mode="tree")

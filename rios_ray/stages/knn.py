@@ -73,3 +73,21 @@ def knn_final_merge(k: int):
         return g
 
     return merge
+
+
+_KNN_CACHE: dict = {}
+
+
+def knn_partial_fn(queries, k: int = 10):
+    """Task-pool variant of :class:`KnnPartialStage` (same per-worker
+    cache rationale as stages.pip.pip_join_fn)."""
+    key = ("knn", getattr(queries, "hex", None) or str(id(queries)), k)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _KNN_CACHE.get(key)
+        if stage is None:
+            stage = KnnPartialStage(queries, k)
+            _KNN_CACHE[key] = stage
+        return stage(batch)
+
+    return fn

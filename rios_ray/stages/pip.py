@@ -61,3 +61,32 @@ class PIPJoinStage:
         out = out.append_column("category", pa.array(self._cat_sorted[pos], type=pa.string()))
         out = out.append_column("burn_value", pa.array(self._burn_sorted[pos], type=pa.int32()))
         return out
+
+
+_STAGE_CACHE: dict = {}
+
+
+def pip_join_fn(polygons, index_res: int = DEFAULT_INDEX_RES,
+                keep_cols: list[str] | None = None):
+    """Task-pool variant of :class:`PIPJoinStage` with a per-worker-
+    process index cache.
+
+    Actor pools pay a cold-start per execution (each new pool spawns
+    processes and re-imports; measured ~5x effective parallelism on a
+    26 s run at 32 cpus).  Ray *task* workers are shared and stay warm
+    across executions, so a module-global cache keyed by the broadcast
+    ref gives the same build-once-per-process semantics as the
+    reference's ``RasterizationMgr`` (structures.py:1062-1096) with no
+    pool spin-up.  The closure ships only the tiny ObjectRef.
+    """
+    key = ("pip", getattr(polygons, "hex", None) or str(polygons), index_res,
+           tuple(keep_cols or ()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = PIPJoinStage(polygons, index_res, keep_cols)
+            _STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return fn
