@@ -225,6 +225,16 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_cell_pages_capped(sf_dir: str):
+    """Per-cell fan-out cap on the deliberately skewed geocoded pages
+    (salted three-stage cap, stages/skew.py)."""
+    from rios_ray.pipelines.pages import geocoded_pages
+    from rios_ray.stages.skew import capped_per_key
+
+    ds = geocoded_pages(sf_dir, keep_text=False).select_columns(["cell", "url"])
+    return capped_per_key(ds, "cell", 5, "url")
+
+
 def _q_rat_derive(sf_dir: str):
     import numpy as np
 
@@ -324,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
         "flagship_resumable": _q_flagship_resumable,
+        "cell_pages_capped": _q_cell_pages_capped,
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
@@ -528,6 +539,13 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_pip_pairs_sql()}) c
               JOIN read_parquet('{ppath}') p USING (poly_id)
              GROUP BY 1, 2
+        """,
+        "cell_pages_capped": f"""
+            SELECT cell, url FROM (
+                SELECT url, cell,
+                       row_number() OVER (PARTITION BY cell ORDER BY url) AS rn
+                  FROM (SELECT url, {_cell_sql()} AS cell FROM ({_pages_sql()})))
+             WHERE rn <= 5
         """,
         "media_frame_samples": f"""
             WITH m AS (

@@ -95,17 +95,19 @@ def gen_pages_table(n: int, seed: int = SEED) -> pa.Table:
     zw = 1.0 / np.arange(1, len(LANGS) + 1) ** 1.3
     zw /= zw.sum()
     lang_idx = rng.choice(len(LANGS), size=n, p=zw)
-    lang = np.array(LANGS, dtype=object)[lang_idx]
 
     lon, lat = gen_latlon(n, rng)
 
-    # url: unique per row
-    url = np.char.add(
-        np.char.add(
-            np.char.add("https://", lang.astype(str)),
-            np.char.add(".example-", (i % 1009).astype(str)),
-        ),
-        np.char.add(np.char.add(".org/p/", i.astype(str)), ""),
+    # Arrow-vectorized string assembly (byte-identical to the original
+    # np.char/object-concat implementation, verified table.equals; ~10x
+    # faster, which matters when regenerating the sf0.5 scaling fixture)
+    import pyarrow.compute as pc
+
+    j = pc.binary_join_element_wise
+    lang_arr = pc.cast(pc.take(pa.array(LANGS), pa.array(lang_idx)), pa.string())
+    url = j(
+        "https://", lang_arr, ".example-", pa.array((i % 1009).astype(str)),
+        ".org/p/", pa.array(i.astype(str)), "",
     )
 
     # warc_ts: 2025-01-01T00:00:00 + i*737 s, microsecond precision
@@ -116,27 +118,24 @@ def gen_pages_table(n: int, seed: int = SEED) -> pa.Table:
     # geo token format "geo:{lat:.5f},{lon:.5f}" (FIXTURES.md §1) —
     # np.char.mod uses C printf %.5f, identical to Python's format.
     word_idx = rng.integers(0, len(_VOCAB), size=(n, 16))
-    vocab = np.array(_VOCAB, dtype=object)
-    words = vocab[word_idx]
-    geo = np.char.add(
-        np.char.add(np.char.add("geo:", np.char.mod("%.5f", lat)), ","),
-        np.char.mod("%.5f", lon),
-    ).astype(object)
-    parts = [words[:, k] for k in range(8)] + [geo] + [words[:, k] for k in range(8, 16)]
-    text = parts[0]
-    for p in parts[1:]:
-        text = text + " " + p  # object-dtype vectorized concat
-
-    text_str = text.astype(str)
-    html = np.char.add(np.char.add("<html><body>", text_str), "</body></html>")
+    vocab = pa.array(_VOCAB)
+    cols = [pc.cast(pc.take(vocab, pa.array(word_idx[:, k])), pa.string()) for k in range(16)]
+    geo = pa.array(
+        np.char.add(
+            np.char.add(np.char.add("geo:", np.char.mod("%.5f", lat)), ","),
+            np.char.mod("%.5f", lon),
+        )
+    )
+    text = j(*cols[:8], geo, *cols[8:], " ")
+    html = j("<html><body>", text, "</body></html>", "")
 
     return pa.table(
         {
-            "url": pa.array(url.astype(object), type=pa.string()),
+            "url": url,
             "warc_ts": pa.array(warc_ts, type=pa.timestamp("us")),
-            "html": pa.array([h.encode("utf-8") for h in html], type=pa.binary()),
-            "text": pa.array(text_str, type=pa.string()),
-            "lang": pa.array(lang, type=pa.string()),
+            "html": html.cast(pa.binary()),
+            "text": text,
+            "lang": lang_arr,
         }
     )
 
