@@ -235,6 +235,24 @@ def _q_cell_pages_capped(sf_dir: str):
     return capped_per_key(ds, "cell", 5, "url")
 
 
+def _q_events_tumbling(sf_dir: str):
+    from rios_ray.pipelines import events as E
+
+    return E.tumbling_counts(sf_dir)
+
+
+def _q_events_sliding(sf_dir: str):
+    from rios_ray.pipelines import events as E
+
+    return E.sliding_counts(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from rios_ray.pipelines import events as E
+
+    return E.session_windows(sf_dir)
+
+
 def _q_rat_derive(sf_dir: str):
     import numpy as np
 
@@ -335,6 +353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
         "flagship_resumable": _q_flagship_resumable,
         "cell_pages_capped": _q_cell_pages_capped,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
@@ -494,6 +515,43 @@ def _embeddings_oracle_sql() -> dict[str, str]:
     }
 
 
+def _events_oracle_sql() -> dict[str, str]:
+    """Window oracles over the ``events`` view.  Counts and min/max only
+    (float sums are not associativity-stable across engines)."""
+    from rios_ray.pipelines.events import DEFAULT_GAP_US, DEFAULT_WINDOW_US
+
+    W, GAP = DEFAULT_WINDOW_US, DEFAULT_GAP_US
+    return {
+        "events_tumbling": f"""
+            SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window, event_type,
+                   count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+              FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": f"""
+            SELECT "window", count(*) AS n_events FROM (
+                SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS "window" FROM events
+                UNION ALL
+                SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) - 1 AS "window" FROM events)
+             GROUP BY "window"
+        """,
+        "events_sessions": f"""
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS e,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {GAP}
+                            THEN 1 ELSE 0 END AS new_sess
+                  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+            sess AS (
+                SELECT user_id, e,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY e) - 1 AS session_id
+                  FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(e) AS t_start, max(e) AS t_end
+              FROM sess GROUP BY user_id, session_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     ppath = synth.polygons_path()
     qpath = synth.knn_queries_path()
@@ -501,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         **_text_oracle_sql(),
         **_dedup_oracle_sql(),
         **_embeddings_oracle_sql(),
+        **_events_oracle_sql(),
         "extracted_text": f"""
             SELECT url, text AS extracted_text
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')

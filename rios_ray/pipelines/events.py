@@ -1,0 +1,165 @@
+"""Windowed aggregates over the events table (tumbling / sliding /
+session windows).
+
+The reference is strictly batch with no window semantics (SURVEY §2.9);
+these are the "custom operator" class the engine adds for event
+streams, expressed Ray-Data-first:
+
+- **Tumbling**: window id is a pure column function (epoch // width) —
+  a stateless ``map_batches`` projection, then the vectorized grouped
+  aggregate (functions/agg.py).  No ordering assumption at all.
+- **Sliding** (width = 2 x step): each event belongs to exactly two
+  step-aligned windows — a flat-map that duplicates the (tiny) window
+  key row, NOT the payload, then the same grouped aggregate.  Fan-out
+  is the overlap factor, known statically.
+- **Session** (gap-based, per user): the one genuinely stateful window.
+  Rows are hash-partitioned by user (``_part`` exchange, vectorized —
+  not per-user ``map_groups``); inside a partition one sort by
+  (user, ts) + a cumsum over gap flags assigns session ids to every
+  event at numpy speed.  The partitioning assumption (all of a user's
+  events in one partition) is the documented co-location contract.
+
+Float sums are excluded from oracle-checked outputs (associativity of
+float addition differs between engines); counts and min/max compare
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.agg import hash_grouped_aggregate
+
+HOUR_US = 3_600_000_000
+DEFAULT_WINDOW_US = 6 * HOUR_US
+DEFAULT_GAP_US = 4 * HOUR_US
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _epoch_us(b: pa.Table, col: str = "ts") -> np.ndarray:
+    return b[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_counts(
+    sf_dir: str, window_us: int = DEFAULT_WINDOW_US
+) -> ray.data.Dataset:
+    """(window, event_type, n_events, min_value, max_value) per tumbling
+    window of ``window_us`` microseconds."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = _epoch_us(b) // window_us
+        return pa.table(
+            {
+                "window": pa.array(w),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    ds = read_events(sf_dir, columns=["ts", "event_type", "value"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    return hash_grouped_aggregate(
+        ds,
+        ["window", "event_type"],
+        [
+            (None, "count", "n_events"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+    )
+
+
+def sliding_counts(
+    sf_dir: str, step_us: int = DEFAULT_WINDOW_US
+) -> ray.data.Dataset:
+    """Sliding windows of width ``2*step_us``, sliding by ``step_us``:
+    window w covers [w*step, (w+2)*step) — every event lands in windows
+    floor(t/step) and floor(t/step)-1.  Output (window, n_events)."""
+
+    def fanout(b: pa.Table) -> pa.Table:
+        w1 = _epoch_us(b) // step_us
+        w = np.concatenate([w1, w1 - 1])
+        return pa.table({"window": pa.array(w)})
+
+    ds = read_events(sf_dir, columns=["ts"]).map_batches(
+        fanout, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    return hash_grouped_aggregate(ds, ["window"], [(None, "count", "n_events")])
+
+
+def session_windows(
+    sf_dir: str,
+    gap_us: int = DEFAULT_GAP_US,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Gap-based sessionization per user.
+
+    Output one row per session: (user_id, session_id, n_events,
+    t_start, t_end) with session_id counting 0.. per user in ts order.
+    Co-location contract: a user's events are hash-partitioned to one
+    partition; the per-partition kernel is one sort + vectorized gap
+    cumsum (no per-user Python).
+    """
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (u * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "e": pa.array(_epoch_us(b)),
+                "_part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("e", "ascending")])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "t_start": pa.array([], type=pa.int64()),
+                    "t_end": pa.array([], type=pa.int64()),
+                }
+            )
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[True], (e[1:] - e[:-1]) > gap_us])
+        new_session = new_user | gap
+        sess_start = np.flatnonzero(new_session)
+        sess_user = u[sess_start]
+        user_first_sess = np.concatenate(
+            [[True], sess_user[1:] != sess_user[:-1]]
+        )
+        user_ord = np.cumsum(user_first_sess) - 1      # session -> user ordinal
+        first_pos = np.flatnonzero(user_first_sess)    # user ordinal -> session index
+        per_user_sid = np.arange(len(sess_start)) - first_pos[user_ord]
+        counts = np.add.reduceat(np.ones_like(e), sess_start)
+        t_start = e[sess_start]
+        t_end = np.maximum.reduceat(e, sess_start)
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user),
+                "session_id": pa.array(per_user_sid),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "t_start": pa.array(t_start),
+                "t_end": pa.array(t_end),
+            }
+        )
+
+    ds = read_events(sf_dir, columns=["user_id", "ts"]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    return ds.groupby("_part").map_groups(sessionize, batch_format="pyarrow")
