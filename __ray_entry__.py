@@ -141,6 +141,12 @@ def _q_knn(sf_dir: str):
     return knn_pages(sf_dir, k=10).select_columns(["qid", "url", "d2", "rank"])
 
 
+def _q_knn_cellring(sf_dir: str):
+    from rios_ray.pipelines.pages import knn_pages_cellring
+
+    return knn_pages_cellring(sf_dir, k=10).select_columns(["qid", "url", "d2", "rank"])
+
+
 def _q_s2_cells(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
 
@@ -340,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_counts": _q_pip_join_counts,
         "flagship_cell_category": _q_flagship,
         "knn_pages": _q_knn,
+        "knn_pages_cellring": _q_knn_cellring,
         "s2_cells": _q_s2_cells,  # rows-only (bit-level cell ids not SQL-expressible)
         "hex_cells": _q_hex_cells,  # rows-only
         "text_token_stats": _q_text_token_stats,
@@ -623,6 +630,19 @@ def oracle_sql() -> dict[str, str]:
               FROM idx
         """,
         "knn_pages": f"""
+            WITH pts AS ({_pages_sql()}),
+            dists AS (
+                SELECT q.qid, p.url,
+                       (p.lon - q.qlon) * (p.lon - q.qlon)
+                     + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+                  FROM pts p CROSS JOIN read_parquet('{qpath}') q
+            )
+            SELECT qid, url, d2,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, url) AS rank
+              FROM dists
+            QUALIFY rank <= 10
+        """,
+        "knn_pages_cellring": f"""
             WITH pts AS ({_pages_sql()}),
             dists AS (
                 SELECT q.qid, p.url,

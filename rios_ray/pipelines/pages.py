@@ -115,3 +115,90 @@ def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         batch_size=BATCH_SIZE,
     )
     return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")
+
+
+def knn_pages_cellring(sf_dir: str, k: int = 10,
+                       grid_res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
+    """Exact kNN via cell-ring candidate generation + exact refine.
+
+    Two passes (the scale path when queries are localized):
+
+    1. per-cell counts (vectorized grouped count -> small driver map:
+       bounded by the grid size, not the corpus);
+    2. driver plans a provably-sufficient candidate cell set per query
+       (stages.knn.ring_candidate_cells), broadcasts it, and the refine
+       scans ONLY rows whose cell is in some query's candidate set —
+       per batch, one isin filter + exact distances on the survivors.
+
+    Output is identical to :func:`knn_pages` (tested); only the work
+    shape differs: brute force touches every row per query, this
+    touches ~|candidate cells| worth of rows.
+    """
+    import numpy as np
+
+    from ..functions.agg import grouped_count
+    from ..stages.knn import KnnPartialStage, knn_final_merge, ring_candidate_cells
+
+    qpath = synth.ensure_knn_queries()
+    qt = pq.read_table(qpath)
+    qid = qt["qid"].to_numpy()
+    qlon = qt["qlon"].to_numpy()
+    qlat = qt["qlat"].to_numpy()
+
+    # pass 1: per-cell counts (small: bounded by grid cells, not rows)
+    counts_df = grouped_count(
+        geocoded_pages(sf_dir, keep_text=False).select_columns(["cell"]),
+        ["cell"], alias="n",
+    ).to_pandas()
+    cell_counts = dict(zip(counts_df["cell"].astype(int), counts_df["n"].astype(int)))
+
+    # driver planning: candidate cells per query + the union filter set
+    cand_sets = [
+        ring_candidate_cells(float(qlon[j]), float(qlat[j]), grid_res, cell_counts, k)
+        for j in range(len(qid))
+    ]
+    union_cells = np.unique(np.concatenate(cand_sets))
+    cand_arrays = [np.asarray(np.unique(c), dtype=np.int64) for c in cand_sets]
+    q_ref = ray.put((qid, qlon, qlat, cand_arrays, union_cells))
+
+    def refine(b: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+
+        qid_, qlon_, qlat_, cand_, union_ = ray.get(q_ref)
+        cells = b["cell"].to_numpy()
+        keep = np.isin(cells, union_)
+        b = b.filter(pa_.array(keep))
+        out_qid, out_url, out_d2 = [], [], []
+        if b.num_rows:
+            cells = b["cell"].to_numpy()
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            url = np.asarray(b["url"].to_pylist(), dtype=object)
+            for j in range(len(qid_)):
+                # per-query candidate mask BEFORE top-k (a union row must
+                # not evict a true candidate from this query's slots)
+                m = np.isin(cells, cand_[j])
+                if not m.any():
+                    continue
+                dlon = lon[m] - qlon_[j]
+                dlat = lat[m] - qlat_[j]
+                d2 = dlon * dlon + dlat * dlat
+                kk = min(k, len(d2))
+                top = np.argpartition(d2, kk - 1)[:kk] if kk < len(d2) else np.arange(len(d2))
+                out_qid.append(np.full(len(top), qid_[j], dtype=np.int64))
+                out_url.append(url[m][top])
+                out_d2.append(d2[top])
+        if not out_qid:
+            return pa_.table({"qid": pa_.array([], type=pa_.int64()),
+                              "url": pa_.array([], type=pa_.string()),
+                              "d2": pa_.array([], type=pa_.float64())})
+        return pa_.table({
+            "qid": pa_.array(np.concatenate(out_qid)),
+            "url": pa_.array(np.concatenate(out_url), type=pa_.string()),
+            "d2": pa_.array(np.concatenate(out_d2), type=pa_.float64()),
+        })
+
+    partial = geocoded_pages(sf_dir, keep_text=False).map_batches(
+        refine, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")

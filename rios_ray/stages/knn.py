@@ -91,3 +91,37 @@ def knn_partial_fn(queries, k: int = 10):
         return stage(batch)
 
     return fn
+
+
+def ring_candidate_cells(qlon: float, qlat: float, res: int,
+                         cell_counts: dict[int, int], k: int,
+                         max_ring: int = 256) -> "np.ndarray":
+    """Candidate cell set for an exact kNN query via ring expansion over
+    a (small) per-cell count map — the driver-side planning step of the
+    distributed cell-ring kNN.
+
+    Guarantee: expand Chebyshev rings from the query's cell until rings
+    0..r hold >= k points; any point in those rings is at Euclidean
+    distance <= (r+1)*s*sqrt(2) (s = cell step), while a point beyond
+    ring R is at distance >= (R-1)*s.  Taking
+    R = ceil(1 + (r+1)*sqrt(2)) therefore covers every possible k-th
+    nearest neighbour; the exact refine runs only on cells 0..R.
+    (This is the reference's margin/halo trick — applier.py:253-268 —
+    in key space, with a provable radius.)
+    """
+    import math
+
+    from ..cells import grid_cell_id, grid_cell_ring
+
+    qcell = int(grid_cell_id(np.array([qlon]), np.array([qlat]), res)[0])
+    have = 0
+    r = 0
+    while r <= max_ring:
+        ring_cells = grid_cell_ring(qcell, res, r)
+        have += sum(cell_counts.get(int(c), 0) for c in ring_cells)
+        if have >= k:
+            break
+        r += 1
+    R = min(max_ring, math.ceil(1 + (r + 1) * math.sqrt(2.0)))
+    out = [grid_cell_ring(qcell, res, rr) for rr in range(R + 1)]
+    return np.concatenate(out)

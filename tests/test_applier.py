@@ -189,3 +189,20 @@ def test_stats_sidecar(fixtures, tmp_path):
     assert stats["mean"] == pytest.approx(ramp.mean(), rel=1e-12)
     assert stats["stddev"] == pytest.approx(ramp.std(), rel=1e-9)
     assert stats["count"] == 250000
+
+
+def test_knn_cellring_equals_bruteforce(ray_session):
+    """Cell-ring candidate generation + exact refine reproduces the
+    brute-force kNN exactly (the ring radius bound is provable — see
+    stages.knn.ring_candidate_cells)."""
+    from rios_ray.pipelines.pages import knn_pages, knn_pages_cellring
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_pages(sf, k=10).to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    b = (
+        knn_pages_cellring(sf, k=10)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a[["qid", "url", "rank"]].equals(b[["qid", "url", "rank"]])
