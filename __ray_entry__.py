@@ -241,6 +241,24 @@ def _q_cell_pages_capped(sf_dir: str):
     return capped_per_key(ds, "cell", 5, "url")
 
 
+def _q_rel_q1(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q1_pricing_summary(sf_dir)
+
+
+def _q_rel_q3(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q3_top_orders(sf_dir, segment="BUILDING", k=10)
+
+
+def _q_rel_q5(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q5_nation_revenue(sf_dir)
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -360,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
         "flagship_resumable": _q_flagship_resumable,
         "cell_pages_capped": _q_cell_pages_capped,
+        "rel_q1_pricing": _q_rel_q1,
+        "rel_q3_top_orders": _q_rel_q3,
+        "rel_q5_nation_revenue": _q_rel_q5,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -522,6 +543,44 @@ def _embeddings_oracle_sql() -> dict[str, str]:
     }
 
 
+def _relational_oracle_sql() -> dict[str, str]:
+    """Relational oracles; monetary sums in integer cents via
+    floor(x*100+0.5) — identical IEEE ops on the numpy side, so sums
+    are bit-exact across engines (see pipelines/relational.py)."""
+    rev = "sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))"
+    return {
+        "rel_q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+                   {rev} AS sum_disc_cents,
+                   count(*) AS count_order
+              FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-01'
+             GROUP BY 1, 2
+        """,
+        "rel_q3_top_orders": f"""
+            SELECT l_orderkey, {rev} AS revenue_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY l_orderkey
+             ORDER BY revenue_cents DESC, l_orderkey
+             LIMIT 10
+        """,
+        "rel_q5_nation_revenue": f"""
+            SELECT r_name, n_name, {rev} AS revenue_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name
+        """,
+    }
+
+
 def _events_oracle_sql() -> dict[str, str]:
     """Window oracles over the ``events`` view.  Counts and min/max only
     (float sums are not associativity-stable across engines)."""
@@ -567,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         **_dedup_oracle_sql(),
         **_embeddings_oracle_sql(),
         **_events_oracle_sql(),
+        **_relational_oracle_sql(),
         "extracted_text": f"""
             SELECT url, text AS extracted_text
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')

@@ -1,0 +1,215 @@
+"""Relational pipelines over the TPC-H-style side tables.
+
+These exercise the engine's generic query surface — column-pruned
+reads, broadcast dimension joins, hash equi-joins, vectorized grouped
+aggregates, top-k — on the driver-provided tables (TESTDATA.md).
+
+Money math: price columns are float64 with cent precision; float sums
+are not associativity-stable across engines, so every monetary
+aggregate is computed in *integer cents* via ``floor(x*100 + 0.5)`` —
+the same IEEE expression on both the numpy and SQL sides, making sums
+bit-exact regardless of reduction order.  (numpy ``round`` is
+banker's-rounding and DuckDB ``round`` is half-away — neither is used.)
+
+Join strategy mirrors the 100 TB plan: small dimensions (region,
+nation, customer-at-test-scale) broadcast via ``ray.put`` and map-side
+hash lookup; the big fact-to-fact join (orders x lineitem) is Ray's
+hash shuffle join with partitions sized to the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.agg import hash_grouped_aggregate
+
+BATCH = 65536
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def _join_partitions() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(16, cpus))
+
+
+def q1_pricing_summary(sf_dir: str, ship_before: str = "2000-09-01") -> ray.data.Dataset:
+    """Q1-style: per (returnflag, linestatus) totals for lines shipped
+    before the cutoff.  All sums in integer units (qty is whole;
+    revenue in cents)."""
+    cutoff = np.datetime64(ship_before, "us").astype(np.int64)
+
+    def prep(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship < cutoff
+        b = b.filter(pa.array(keep))
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "base_cents": pa.array(_cents(price)),
+                "disc_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH)
+    return hash_grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("qty", "sum", "sum_qty"),
+            ("base_cents", "sum", "sum_base_cents"),
+            ("disc_cents", "sum", "sum_disc_cents"),
+            (None, "count", "count_order"),
+        ],
+    )
+
+
+def q3_top_orders(
+    sf_dir: str, segment: str = "BUILDING", k: int = 10
+) -> ray.data.Dataset:
+    """Q3-style: top-k orders by discounted revenue for one market
+    segment.  customer filter broadcast; orders x lineitem is the hash
+    shuffle join; final top-k on the (small) aggregate."""
+    import pyarrow.compute as pc
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"].to_numpy()
+    keys_ref = ray.put(np.sort(keys))
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ck)
+        pos[pos >= len(wanted)] = 0
+        keep = wanted[pos] == ck if len(wanted) else np.zeros(len(ck), dtype=bool)
+        return b.filter(pa.array(keep)).select(["o_orderkey", "o_orderdate"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        filter_orders, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        prep_li, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_order = hash_grouped_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["l_orderkey", "rev_cents"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["l_orderkey"],
+        [("rev_cents", "sum", "revenue_cents")],
+    )
+    # final top-k: tiny result, deterministic tie-break on orderkey
+    df = per_order.to_pandas()
+    df = df.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return df.reset_index(drop=True)
+
+
+def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Q5-style: discounted revenue per (region, nation) where customer
+    and supplier share the nation.  All dimensions broadcast (nation /
+    region / supplier / customer are the small side at any scale that
+    fits a worker heap; the lineitem scan streams); orders x lineitem
+    is the shuffle join."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nk = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist()))
+    nreg = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_regionkey"].to_numpy()))
+    rname = dict(zip(region["r_regionkey"].to_numpy(), region["r_name"].to_pylist()))
+    dims_ref = ray.put(
+        (
+            dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())),
+            dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())),
+            nk,
+            nreg,
+            rname,
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(
+        orders,
+        "inner",
+        num_partitions=_join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        s2n, c2n, nk_, nreg_, rname_ = ray.get(dims_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        sn = np.array([s2n.get(int(x), -1) for x in sk])
+        cn = np.array([c2n.get(int(x), -2) for x in ck])
+        keep = sn == cn
+        b = b.filter(pa.array(keep))
+        sn = sn[keep]
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r_name": pa.array([rname_[nreg_[n]] for n in sn], type=pa.string()),
+                "n_name": pa.array([nk_[n] for n in sn], type=pa.string()),
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    tagged = joined.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    return hash_grouped_aggregate(
+        tagged, ["r_name", "n_name"], [("rev_cents", "sum", "revenue_cents")]
+    )

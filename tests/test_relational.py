@@ -1,0 +1,75 @@
+"""Relational pipeline golden tests vs DuckDB (integer-cents money
+math makes sums bit-exact across engines)."""
+
+import duckdb
+import pytest
+
+from rios_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_q1(ray_session, con):
+    got = (
+        R.q1_pricing_summary(SF)
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+               count(*) AS count_order
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    for c in ("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+              "sum_disc_cents", "count_order"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_q3(ray_session, con):
+    got = R.q3_top_orders(SF, segment="BUILDING", k=10)
+    want = con.execute("""
+        SELECT l_orderkey,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey
+         ORDER BY revenue_cents DESC, l_orderkey
+         LIMIT 10""").df()
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+def test_q5(ray_session, con):
+    got = (
+        R.q5_nation_revenue(SF)
+        .to_pandas()
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT r_name, n_name,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""").df()
+    assert got["r_name"].tolist() == want["r_name"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
