@@ -189,6 +189,12 @@ def _q_text_winnow(sf_dir: str):
     return T.fingerprints(sf_dir).select_columns(["doc_id", "fp_size"])
 
 
+def _q_text_topk(sf_dir: str):
+    from rios_ray.pipelines.text import top_token_pages
+
+    return top_token_pages(sf_dir, k=100)
+
+
 def _q_dedup_exact(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -372,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": _q_text_lang_id,
         "text_md5": _q_text_md5,
         "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
+        "text_topk_tokens": _q_text_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -434,6 +441,13 @@ def _text_oracle_sql() -> dict[str, str]:
                  m AS (SELECT *, GREATEST(c_en,c_de,c_fr,c_es,c_zh) AS m FROM c)
             SELECT doc_id, CASE WHEN m=0 THEN 'und' {lang_cases} END AS lang_pred
               FROM m
+        """,
+        "text_topk_tokens": r"""
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+              FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+                      FROM documents)
+            QUALIFY rank <= 100
         """,
         "text_md5": r"""
             SELECT doc_id,

@@ -50,3 +50,44 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
         batch_size=BATCH_SIZE,
     )
     return ds.select_columns(["doc_id", "text_md5", "fp_size"])
+
+
+def top_token_pages(sf_dir: str, k: int = 100):
+    """Top-k documents by token count (sort/limit surface).
+
+    Scalable top-k: per-batch local top-k (one argpartition) before the
+    single tiny final merge — the global ``ds.sort`` is avoided the same
+    way the kNN merge avoids it (pre-aggregate-before-shuffle for
+    order statistics).  Ties broken on doc_id ascending.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        # the batch-local selection must use the SAME total order as the
+        # final merge (value desc, id asc) — a value-only argpartition
+        # can discard the tie-winner at the k-th boundary
+        top = np.lexsort((ids, -n))[: min(k, len(n))]
+        return pa.table({"doc_id": pa.array(ids[top]), "n_tokens": pa.array(n[top])})
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        order = np.lexsort((ids, -n))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_tokens": pa.array(n[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    ds = token_stats(sf_dir).select_columns(["doc_id", "n_tokens"])
+    local = ds.map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    return local.repartition(1).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -109,3 +109,16 @@ def test_winnow_properties():
     assert len(A.winnow_fingerprint_one("")) == 0
     assert len(A.winnow_fingerprint_one("abc")) == 0  # < k
     assert len(A.winnow_fingerprint_one("abcdefgh")) == 1  # exactly one gram
+
+
+def test_top_token_pages_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import top_token_pages
+
+    got = top_token_pages(SF, k=50).to_pandas().sort_values("rank").reset_index(drop=True)
+    want = con.execute(r"""
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+          FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM docs)
+        QUALIFY rank <= 50 ORDER BY rank""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
