@@ -21,7 +21,8 @@ import sys
 import numpy as np
 
 
-def _calc_one(path: str, include_hist: bool = True) -> dict:
+def _calc_one(path: str, include_hist: bool = True, approx: bool = False,
+              sample_frac: float = 0.25, seed: int = 42) -> dict:
     import pyarrow.parquet as pq
     import ray.data
 
@@ -30,6 +31,11 @@ def _calc_one(path: str, include_hist: bool = True) -> dict:
 
     info = TileRasterInfo.read(path)
     ds = ray.data.read_parquet(path)
+    if approx:
+        # sampled scan — the reference's approx_ok path computes from
+        # pyramid-subsampled pixels (calcstats.py:176-198); a seeded
+        # random tile sample is the keyed-parquet equivalent
+        ds = ds.random_sample(sample_frac, seed=seed)
     res = dataset_band_stats(
         ds, info.np_dtype, nullval=info.nullval, thematic=info.thematic,
         include_hist=include_hist,
@@ -48,6 +54,8 @@ def _calc_one(path: str, include_hist: bool = True) -> dict:
             half = counts.sum() / 2.0
             entry["median"] = float(hmin + int(np.searchsorted(np.cumsum(counts), half)))
             entry["mode"] = float(hmin + int(np.argmax(counts)))
+        if approx:
+            entry["approx"] = True
         stats[str(band)] = entry
     # rewrite sidecar with fresh stats, preserving grid metadata
     table = pq.read_table(path)
@@ -59,14 +67,15 @@ def _calc_one(path: str, include_hist: bool = True) -> dict:
     return stats
 
 
-def cmd_calcstats(paths: list[str], include_hist: bool = True) -> int:
+def cmd_calcstats(paths: list[str], include_hist: bool = True,
+                  approx: bool = False) -> int:
     import ray
 
     own_session = not ray.is_initialized()
     if own_session:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     for p in paths:
-        stats = _calc_one(p, include_hist)
+        stats = _calc_one(p, include_hist, approx=approx)
         print(json.dumps({"file": p, "stats": stats}))
     if own_session:
         ray.shutdown()
@@ -93,11 +102,14 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("calcstats", help="recompute stats into the sidecar")
     c.add_argument("paths", nargs="+")
     c.add_argument("--no-hist", action="store_true")
+    c.add_argument("--approx", action="store_true",
+                   help="sampled-scan approximate stats (reference approx_ok)")
     p = sub.add_parser("printstats", help="print stored stats")
     p.add_argument("paths", nargs="+")
     args = ap.parse_args(argv)
     if args.cmd == "calcstats":
-        return cmd_calcstats(args.paths, include_hist=not args.no_hist)
+        return cmd_calcstats(args.paths, include_hist=not args.no_hist,
+                             approx=args.approx)
     return cmd_printstats(args.paths)
 
 
