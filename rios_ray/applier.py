@@ -78,6 +78,7 @@ class ApplierControls:
     stats_ignore: dict = field(default_factory=dict)  # out name -> nullval
     calc_stats: bool = True
     thematic: dict = field(default_factory=dict)  # out name -> bool
+    resample_method: str | None = None  # "near" enables auto-resample
 
     def setWindowXsize(self, n):
         self.window_xsize = n
@@ -111,6 +112,14 @@ class ApplierControls:
 
     def setThematic(self, flag, imagename):
         self.thematic[imagename] = flag
+
+    def setResampleMethod(self, method):
+        """Enable on-the-fly resampling of misaligned inputs onto the
+        working grid (reference ``allowOverviewsGdalwarp``/warp-VRT
+        path, ``imagereader.py:280-333``); only "near" is supported."""
+        if method not in ("near", None):
+            raise ValueError("only nearest-neighbour resampling is supported")
+        self.resample_method = method
 
 
 class ReaderInfo:
@@ -360,6 +369,27 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
     return assemble
 
 
+def _resample_input(ti, wg, out_dir):
+    """Materialize a misaligned input onto the working grid (nearest)
+    into a temp tile table; the applier then treats it as a normal
+    aligned input.  Mirrors the reference preparing a warp VRT once per
+    input before block reading (``imagereader.py:280-333``)."""
+    import tempfile
+
+    import ray.data
+
+    from .resample import resample_nearest
+    from .sources.tileraster import TileRasterInfo
+
+    tmp = tempfile.mkdtemp(prefix="resample_", dir=out_dir or "/tmp")
+    ds = ray.data.read_parquet(ti.path)
+    resample_nearest(ds, ti.grid, wg).write_parquet(tmp)
+    return TileRasterInfo(
+        path=tmp, grid=wg, nbands=ti.nbands, dtype="float64",
+        nullval=ti.nullval, thematic=ti.thematic, layer_names=ti.layer_names,
+    )
+
+
 def _resolve_input(spec):
     """Accept TileRasterInfo, path, or (table, TileRasterInfo-like)."""
     if isinstance(spec, TileRasterInfo):
@@ -397,6 +427,16 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
                     "input grids not aligned and no reference set"
                 )
     wg = find_common_region(grids, ref, controls.footprint)
+    # on-the-fly resample of misaligned inputs (reference warp-VRT path)
+    for name in list(inputs):
+        ti = inputs[name]
+        if not wg.aligned_with(ti.grid):
+            if controls.resample_method != "near":
+                raise ResampleNeededError(
+                    f"input {name!r} not aligned with working grid; "
+                    "call controls.setResampleMethod('near')"
+                )
+            inputs[name] = _resample_input(ti, wg, out_dir)
     wg_nrows, wg_ncols = wg.dimensions()
     B_y, B_x = controls.window_ysize, controls.window_xsize
     m = controls.overlap

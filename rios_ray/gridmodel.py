@@ -191,6 +191,20 @@ class PixelGrid:
             and self.y_max >= other.y_max
         )
 
+    def reproject_extent_to(self, ref: "PixelGrid") -> "PixelGrid":
+        """This grid's extent re-expressed on the reference lattice with
+        the REFERENCE's resolution — reference ``findCommonRegion``
+        semantics (pixelgrid.py:415-444: misaligned grids are
+        reprojected to match the reference before combining, so the
+        working grid always carries the reference's res/projection)."""
+        x_min = snap_to_grid(self.x_min, ref.x_min, ref.x_res)
+        x_max = snap_to_grid(self.x_max, ref.x_min, ref.x_res)
+        y_min = snap_to_grid(self.y_min, ref.y_max, ref.y_res)
+        y_max = snap_to_grid(self.y_max, ref.y_max, ref.y_res)
+        return PixelGrid(
+            x_min, x_max, y_min, y_max, ref.x_res, ref.y_res, ref.projection
+        )
+
     def snap_to(self, other: "PixelGrid") -> "PixelGrid":
         """Return self with corners snapped onto other's grid lattice."""
         x_min = snap_to_grid(self.x_min, other.x_min, self.x_res)
@@ -291,7 +305,7 @@ def find_common_region(
     new_grid: PixelGrid | None = None
     for g in grids:
         if not ref_grid.aligned_with(g):
-            g = g.snap_to(ref_grid)
+            g = g.reproject_extent_to(ref_grid)
         if new_grid is None:
             new_grid = g
         elif combine == INTERSECTION:

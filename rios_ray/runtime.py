@@ -171,9 +171,17 @@ def run_resumable(
 
         shutil.rmtree(part_dir, ignore_errors=True)
         ds.write_parquet(part_dir)
-        totals = ray.get(collector.partition_totals.remote(stage)).get(
-            name, {"rows": 0, "bytes": 0}
-        )
+        # metric adds are fire-and-forget from workers; the write being
+        # done means they were submitted, not landed — poll until two
+        # consecutive reads agree (bounded)
+        totals = None
+        for _ in range(40):
+            cur = ray.get(collector.partition_totals.remote(stage)).get(name)
+            if cur is not None and cur == totals:
+                break
+            totals = cur
+            time.sleep(0.05)
+        totals = totals or {"rows": 0, "bytes": 0}
         manifest.commit(
             LineageRecord(
                 partition=name,

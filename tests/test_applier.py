@@ -206,3 +206,58 @@ def test_knn_cellring_equals_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     assert a[["qid", "url", "rank"]].equals(b[["qid", "url", "rank"]])
+
+
+def test_resample_misaligned_input(fixtures, ray_session, tmp_path):
+    """A res-20 input on a reference res-10 working grid: with
+    setResampleMethod('near') the applier auto-resamples and the
+    output equals the direct numpy nearest resample (testresample
+    parity — exact, no interpolation)."""
+    from rios_ray.resample import resample_nearest  # noqa: F401 (op under test)
+
+    ramp = fixtures["ramp_arr"].astype(np.float64)
+    # build a coarse (res 20) input: every 2nd pixel of the ramp
+    coarse = ramp[::2, ::2]
+    g20 = PixelGrid(500000.0, 505000.0, 6995000.0, 7000000.0, 20.0, 20.0, "EPSG:28355")
+    in_path = str(tmp_path / "coarse.parquet")
+    write_tile_raster(in_path, synth.raster_to_tile_table(coarse), g20, 1, np.float64)
+
+    def copy_fn(info, inputs, outputs):
+        outputs.out = inputs.a
+
+    controls = ApplierControls()
+    controls.setReferencePixgrid(_grid())  # res-10 working grid
+    controls.setResampleMethod("near")
+    controls.setCalcStats(False)
+    out_path = str(tmp_path / "resampled_out.parquet")
+    apply(copy_fn, {"a": in_path}, {"out": out_path}, controls=controls,
+          out_dir=str(tmp_path))
+    got = _read_back(out_path)[0]
+
+    # golden: containing-cell nearest from the coarse grid to res 10
+    r = np.arange(500)
+    y = 7000000.0 - (r + 0.5) * 10.0
+    x = 500000.0 + (r + 0.5) * 10.0
+    sr = np.floor((7000000.0 - y) / 20.0).astype(np.int64)
+    sc = np.floor((x - 500000.0) / 20.0).astype(np.int64)
+    want = coarse[sr[:, None], sc[None, :]]
+    assert np.array_equal(got, want)
+
+
+def test_misaligned_without_resample_raises(fixtures, ray_session, tmp_path):
+    from rios_ray.applier import ResampleNeededError
+
+    coarse = fixtures["ramp_arr"][::2, ::2].astype(np.float64)
+    g20 = PixelGrid(500000.0, 505000.0, 6995000.0, 7000000.0, 20.0, 20.0, "EPSG:28355")
+    in_path = str(tmp_path / "coarse2.parquet")
+    write_tile_raster(in_path, synth.raster_to_tile_table(coarse), g20, 1, np.float64)
+
+    def copy_fn(info, inputs, outputs):
+        outputs.out = inputs.a
+
+    controls = ApplierControls()
+    controls.setReferencePixgrid(_grid())
+    controls.setCalcStats(False)
+    with pytest.raises(ResampleNeededError):
+        apply(copy_fn, {"a": in_path}, {"out": str(tmp_path / "o.parquet")},
+              controls=controls, out_dir=str(tmp_path))
