@@ -42,7 +42,13 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from rios_ray import synth
-    from rios_ray.pipelines.pages import flagship, geocoded_pages, knn_pages, spatial_join
+    from rios_ray.pipelines.pages import (
+        flagship,
+        geocoded_pages,
+        knn_pages,
+        knn_pages_cellring,
+        spatial_join,
+    )
 
     # fixture generation + OS page-cache warm-up are NOT part of the measurement
     path = synth.ensure_pages(sf_dir)
@@ -73,11 +79,19 @@ def run_bench() -> dict:
 
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     selected = set(only.split(",")) if only else None
+    def capped():
+        from rios_ray.stages.skew import capped_per_key
+
+        ds = geocoded_pages(sf_dir, keep_text=False).select_columns(["cell", "url"])
+        return capped_per_key(ds, "cell", 5, "url").count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "spatial_join": lambda: spatial_join(sf_dir).count(),
         "flagship": lambda: flagship(sf_dir).to_pandas(),
         "knn_pages": lambda: knn_pages(sf_dir, k=10).count(),
+        "knn_cellring": lambda: knn_pages_cellring(sf_dir, k=10).count(),
+        "cell_fanout_cap": capped,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:
