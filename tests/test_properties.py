@@ -1,0 +1,115 @@
+"""Hypothesis property tests for the pure grid/hash kernels — the
+engine's bit-exactness contracts (SURVEY §7.4.1: float drift in grid
+arithmetic silently shifts tile membership)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rios_ray import gridmodel as G
+from rios_ray.cells import grid_cell_id, grid_cell_ring, grid_cell_step, grid_cell_yx
+from rios_ray.dedup.hashing import fnv1a64, hamming64
+
+finite = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@given(finite)
+def test_round_away_vec_matches_decimal_scalar(x):
+    assert G.round_away_vec(np.array([x]))[0] == G.round_away(x)
+
+
+@given(finite, st.floats(min_value=1e-3, max_value=1e4,
+                         allow_nan=False, allow_infinity=False))
+def test_snap_idempotent(val, res):
+    s1 = G.snap_to_grid(val, 0.0, res)
+    s2 = G.snap_to_grid(s1, 0.0, res)
+    assert s2 == s1  # snapping an on-grid value is a fixpoint
+
+
+@settings(max_examples=50)
+@given(
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=3000),
+    st.integers(min_value=1, max_value=512),
+    st.integers(min_value=1, max_value=512),
+)
+def test_block_list_tiles_grid_exactly(nrows, ncols, by, bx):
+    grid = G.PixelGrid(0.0, ncols * 1.0, 0.0, nrows * 1.0, 1.0, 1.0, "X")
+    blocks = G.make_block_list(grid, by, bx)
+    # disjoint and covering: total pixels match, no overlap
+    assert sum(b.nrows * b.ncols for b in blocks) == nrows * ncols
+    seen = set()
+    for b in blocks:
+        assert 0 <= b.top < nrows and 0 <= b.left < ncols
+        assert b.top + b.nrows <= nrows and b.left + b.ncols <= ncols
+        assert (b.top, b.left) not in seen
+        seen.add((b.top, b.left))
+    # row-major order (reference applier.py:1308-1326)
+    keys = [(b.top, b.left) for b in blocks]
+    assert keys == sorted(keys)
+
+
+@settings(max_examples=50)
+@given(
+    st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
+    st.floats(min_value=-89.99, max_value=89.99, allow_nan=False),
+    st.integers(min_value=3, max_value=9),
+)
+def test_cell_id_roundtrip_and_bounds(lon, lat, res):
+    cid = int(grid_cell_id(np.array([lon]), np.array([lat]), res)[0])
+    ny, nx = 1 << res, 2 << res
+    cy, cx = grid_cell_yx(np.array([cid]), res)
+    assert 0 <= cy[0] < ny and 0 <= cx[0] < nx
+    # the point lies inside its cell's extent, up to one float-add ULP
+    # at the cell edge (e.g. lon=-2e-16 + 180.0 == 180.0 exactly): the
+    # binding contract is bit-equality with the SQL expression, which
+    # uses the identical IEEE ops — not geometric strictness
+    step = grid_cell_step(res)
+    tol = 1e-9 * max(1.0, abs(lat), abs(lon))
+    assert 90.0 - (cy[0] + 1) * step - tol <= lat <= 90.0 - cy[0] * step + tol
+    assert -180.0 + cx[0] * step - tol <= lon <= -180.0 + (cx[0] + 1) * step + tol
+
+
+@settings(max_examples=30)
+@given(
+    st.floats(min_value=-170, max_value=170, allow_nan=False),
+    st.floats(min_value=-80, max_value=80, allow_nan=False),
+    st.integers(min_value=4, max_value=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_ring_cells_at_exact_chebyshev_distance(lon, lat, res, ring):
+    cid = int(grid_cell_id(np.array([lon]), np.array([lat]), res)[0])
+    cells = grid_cell_ring(cid, res, ring)
+    nx = 2 << res
+    cy, cx = cid // nx, cid % nx
+    for c in cells:
+        dy = abs(int(c) // nx - cy)
+        dxr = abs(int(c) % nx - cx)
+        dx = min(dxr, nx - dxr)  # lon wraps
+        assert max(dy, dx) == ring
+    assert len(set(cells.tolist())) == len(cells)  # no duplicates
+
+
+@given(st.lists(st.text(max_size=40), max_size=50))
+def test_fnv_vectorized_matches_scalar_definition(strings):
+    got = fnv1a64(strings)
+    for s, h in zip(strings, got):
+        ref = 0xCBF29CE484222325
+        for byte in s.encode("utf-8"):
+            ref = ((ref ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        assert int(h) == ref
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=50))
+def test_hamming_identity_and_symmetry(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert (hamming64(a, a) == 0).all()
+    b = a[::-1].copy()
+    assert np.array_equal(hamming64(a, b), hamming64(b, a))
+    # popcount identity: d(a, 0) = popcount(a)
+    zero = np.zeros_like(a)
+    assert np.array_equal(hamming64(a, zero),
+                          np.array([bin(int(v)).count("1") for v in vals]))
