@@ -390,9 +390,114 @@ def _resample_input(ti, wg, out_dir):
     )
 
 
+@dataclass
+class VectorInput:
+    """A polygon-layer input to :func:`apply`, rasterized onto the
+    working grid on the fly (reference ``imagereader.py:195-276`` +
+    ``RasterizationMgr`` build-once semantics, ``structures.py:1062-1096``).
+
+    - ``burn_col``: polygon attribute burned into the mask (None -> 1),
+      mirroring ``burnAttribute``/``burnvalue`` (``applier.py:692-728``).
+    - ``where``: simple (column, value) equality filter applied BEFORE
+      rasterization — the ``filtersql`` analogue (M11).
+    - Pixel-center containment rule (``allTouched=False`` default of the
+      reference); overlapping polygons burn last-in-file-order wins
+      (GDAL feature-order semantics).
+    """
+
+    source: "str | object"  # parquet path or pyarrow Table
+    burn_col: str | None = None
+    where: tuple | None = None
+
+
+def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
+    """Vector layer -> temp tile raster on the working grid (one Ray
+    task per block; the polygon index ships once via the object store)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .gridmodel import make_block_list
+    from .spatial import PolygonIndex
+
+    table = pq.read_table(vi.source) if isinstance(vi.source, str) else vi.source
+    if vi.where is not None:
+        col, val = vi.where
+        table = table.filter(pc.equal(table[col], val))
+    if vi.burn_col is not None:
+        burns = table[vi.burn_col].to_numpy(zero_copy_only=False).astype(np.int32)
+    else:
+        burns = np.ones(table.num_rows, dtype=np.int32)
+    # last-in-file-order wins for overlaps: rank polygons by position
+    order_of = {int(p): i for i, p in enumerate(table["poly_id"].to_pylist())}
+    table_ref = ray.put((table, burns, order_of))
+
+    blocks = make_block_list(wg, B_y, B_x)
+    items = [
+        {"top": b.top, "left": b.left, "nrows": b.nrows, "ncols": b.ncols}
+        for b in blocks
+    ]
+
+    x_min, y_max, xr, yr = wg.x_min, wg.y_max, wg.x_res, wg.y_res
+
+    def burn_block(batch: pa.Table) -> pa.Table:
+        tbl, burns_, order_ = ray.get(table_ref)
+        index = PolygonIndex.from_arrow(tbl)
+        id_pos = {int(p): i for i, p in enumerate(tbl["poly_id"].to_pylist())}
+        rows = []
+        for rec in batch.to_pylist():
+            top, left = rec["top"], rec["left"]
+            nr, nc = rec["nrows"], rec["ncols"]
+            cx = x_min + (left + np.arange(nc) + 0.5) * xr
+            cy = y_max - (top + np.arange(nr) + 0.5) * yr
+            px = np.repeat(cx[None, :], nr, axis=0).ravel()
+            py = np.repeat(cy[:, None], nc, axis=1).ravel()
+            pt_idx, poly_ids = index.contains(px, py)
+            mask = np.zeros(nr * nc, dtype=np.int32)
+            if len(pt_idx):
+                # overlap rule: keep the pair whose polygon is LAST in
+                # file order (sort by rank, later assignments overwrite)
+                rank = np.array([order_[int(p)] for p in poly_ids])
+                srt = np.argsort(rank, kind="stable")
+                mask[pt_idx[srt]] = burns_[
+                    [id_pos[int(p)] for p in poly_ids[srt]]
+                ]
+            rows.append(
+                {
+                    "tile_y": top // B_y,
+                    "tile_x": left // B_x,
+                    "top": top,
+                    "left": left,
+                    "nrows": nr,
+                    "ncols": nc,
+                    "band": 0,
+                    "data": mask,
+                }
+            )
+        schema = pa.schema(
+            [
+                ("tile_y", pa.int32()), ("tile_x", pa.int32()),
+                ("top", pa.int32()), ("left", pa.int32()),
+                ("nrows", pa.int32()), ("ncols", pa.int32()),
+                ("band", pa.int32()), ("data", pa.list_(pa.int32())),
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    tmp = tempfile.mkdtemp(prefix="rasterized_", dir=out_dir or "/tmp")
+    ray.data.from_items(items).map_batches(
+        burn_block, batch_format="pyarrow", batch_size=8
+    ).write_parquet(tmp)
+    return TileRasterInfo(
+        path=tmp, grid=wg, nbands=1, dtype="int32", nullval=0, thematic=True
+    )
+
+
 def _resolve_input(spec):
-    """Accept TileRasterInfo, path, or (table, TileRasterInfo-like)."""
-    if isinstance(spec, TileRasterInfo):
+    """Accept TileRasterInfo, path, VectorInput, or a pyarrow table."""
+    if isinstance(spec, (TileRasterInfo, VectorInput)):
         return spec
     if isinstance(spec, str):
         return TileRasterInfo.read(spec)
@@ -414,7 +519,10 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
     inputs = {name: _resolve_input(spec) for name, spec in infiles.items()}
 
     # ---- plan (driver) ----
-    grids = [ti.grid for ti in inputs.values()]
+    vector_names = [n for n, ti in inputs.items() if isinstance(ti, VectorInput)]
+    grids = [ti.grid for n, ti in inputs.items() if n not in vector_names]
+    if not grids:
+        raise ValueError("at least one raster input is required")
     if controls.ref_pixgrid is not None:
         ref = controls.ref_pixgrid
     elif controls.reference is not None:
@@ -427,6 +535,10 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
                     "input grids not aligned and no reference set"
                 )
     wg = find_common_region(grids, ref, controls.footprint)
+    B_y, B_x = controls.window_ysize, controls.window_xsize
+    # rasterize vector inputs onto the working grid (reference S6)
+    for name in vector_names:
+        inputs[name] = _rasterize_vector(inputs[name], wg, B_y, B_x, out_dir)
     # on-the-fly resample of misaligned inputs (reference warp-VRT path)
     for name in list(inputs):
         ti = inputs[name]
@@ -438,7 +550,6 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
                 )
             inputs[name] = _resample_input(ti, wg, out_dir)
     wg_nrows, wg_ncols = wg.dimensions()
-    B_y, B_x = controls.window_ysize, controls.window_xsize
     m = controls.overlap
     nbx = -(-wg_ncols // B_x)
     nby = -(-wg_nrows // B_y)

@@ -261,3 +261,103 @@ def test_misaligned_without_resample_raises(fixtures, ray_session, tmp_path):
     with pytest.raises(ResampleNeededError):
         apply(copy_fn, {"a": in_path}, {"out": str(tmp_path / "o.parquet")},
               controls=controls, out_dir=str(tmp_path))
+
+
+def _square_polys():
+    """Reference vector fixture (riostestutils.py:168-200): a 20x20-px
+    square at pixel offset (10.6, 30.6) from the raster origin, plus a
+    second square of another category for the filter case."""
+    import pyarrow as pa
+
+    def square(x0, y0, size):
+        return [[x0, y0], [x0 + size, y0], [x0 + size, y0 - size], [x0, y0 - size], [x0, y0]]
+
+    x0 = 500000.0 + 10.6 * 10.0
+    y0 = 7000000.0 - 30.6 * 10.0
+    s1 = square(x0, y0, 200.0)
+    s2 = square(500000.0 + 3000.0, 7000000.0 - 3000.0, 500.0)
+    return pa.table(
+        {
+            "poly_id": pa.array([1, 2], type=pa.int64()),
+            "ring_xy": pa.array([s1, s2]),
+            "category": pa.array(["mask", "other"]),
+            "burn_value": pa.array([7, 9], type=pa.int32()),
+        }
+    )
+
+
+def test_vector_input_masked_mean(fixtures, ray_session, tmp_path):
+    """testvector parity (testvector.py:99-132): masked mean of the
+    ramp inside the rasterized square == numpy mean of the known
+    sub-array.  Pixel-center rule puts the (10.6, 30.6)-offset 20x20
+    square exactly at rows 31..50, cols 11..30."""
+    from rios_ray.applier import VectorInput
+
+    polys = _square_polys()
+
+    class Acc:
+        def __init__(self):
+            self.sum = 0.0
+            self.count = 0
+
+    def masked_mean(info, inputs, outputs, other_args):
+        m = inputs.mask[0] == 7
+        other_args.sum += float(inputs.img[0][m].sum())
+        other_args.count += int(m.sum())
+        outputs.out = (inputs.mask == 7).astype(np.uint8)
+
+    controls = ApplierControls()
+    controls.setReference("img")
+    controls.setCalcStats(False)
+    out_path = str(tmp_path / "mask_out.parquet")
+    ret = apply(
+        masked_mean,
+        {"img": fixtures["ramp"].path,
+         "mask": VectorInput(polys, burn_col="burn_value", where=("category", "mask"))},
+        {"out": out_path},
+        other_args=Acc(),
+        controls=controls,
+        out_dir=str(tmp_path),
+    )
+    total_sum = sum(oa.sum for oa in ret.other_args_list)
+    total_count = sum(oa.count for oa in ret.other_args_list)
+
+    ramp = fixtures["ramp_arr"].astype(np.float64)
+    want = ramp[31:51, 11:31]
+    assert total_count == 400
+    assert total_sum == want.sum()
+    assert total_sum / total_count == pytest.approx(want.mean(), abs=0)
+    # rasterized mask geometry is exactly the reference square
+    got_mask = _read_back(out_path)[0]
+    expect = np.zeros((500, 500), dtype=np.uint8)
+    expect[31:51, 11:31] = 1
+    assert np.array_equal(got_mask, expect)
+
+
+def test_vector_input_non_intersecting_empty(fixtures, ray_session, tmp_path):
+    """Non-intersecting vector yields an all-zero mask
+    (testvector.py:76-83 parity)."""
+    import pyarrow as pa
+
+    from rios_ray.applier import VectorInput
+
+    far = [[9e6, 9e6], [9.1e6, 9e6], [9.1e6, 8.9e6], [9e6, 8.9e6], [9e6, 9e6]]
+    polys = pa.table(
+        {
+            "poly_id": pa.array([1], type=pa.int64()),
+            "ring_xy": pa.array([far]),
+            "category": pa.array(["x"]),
+            "burn_value": pa.array([1], type=pa.int32()),
+        }
+    )
+
+    def copy_mask(info, inputs, outputs):
+        outputs.out = inputs.mask
+
+    controls = ApplierControls()
+    controls.setReference("img")
+    controls.setCalcStats(False)
+    out_path = str(tmp_path / "empty_mask.parquet")
+    apply(copy_mask, {"img": fixtures["ramp"].path, "mask": VectorInput(polys)},
+          {"out": out_path}, controls=controls, out_dir=str(tmp_path))
+    assert (_read_back(out_path)[0] == 0).all()
