@@ -47,7 +47,11 @@ def minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndar
 
 
 def minhash_signatures(
-    gram_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+    gram_hashes: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    perm_chunk: int = 64,
 ) -> np.ndarray:
     """(n_docs, num_perm) MinHash signature matrix.
 
@@ -56,10 +60,25 @@ def minhash_signatures(
     gram — shingling emits a whole-text sentinel gram for short docs).
     Permutation hash h_i(x) = a_i*x + b_i mod 2^64; per-doc min via
     ``np.minimum.reduceat`` (one vectorized pass, no Python loop).
+
+    Computed in permutation chunks into one reused buffer: the full
+    (n_grams, num_perm) temp would be ~0.5 GB at a 4096-doc batch, and
+    first-touch page faults on fresh large allocations dominate the
+    kernel cost — chunking keeps the working set small and lets the
+    allocator reuse pages across chunks and batches.
     """
+    num_perm = len(a)
+    n_grams = len(gram_hashes)
+    sig = np.empty((len(offsets), num_perm), dtype=np.uint64)
+    buf = np.empty((n_grams, min(perm_chunk, num_perm)), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        ph = gram_hashes[:, None] * a[None, :] + b[None, :]
-    return np.minimum.reduceat(ph, offsets, axis=0)
+        for c0 in range(0, num_perm, perm_chunk):
+            c1 = min(c0 + perm_chunk, num_perm)
+            view = buf[:, : c1 - c0]
+            np.multiply(gram_hashes[:, None], a[None, c0:c1], out=view)
+            np.add(view, b[None, c0:c1], out=view)
+            sig[:, c0:c1] = np.minimum.reduceat(view, offsets, axis=0)
+    return sig
 
 
 def band_keys(signatures: np.ndarray, n_bands: int) -> np.ndarray:

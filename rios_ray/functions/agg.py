@@ -98,6 +98,37 @@ def hash_grouped_aggregate(
     return partials.groupby("_part").map_groups(final, batch_format="pyarrow")
 
 
+def hash_partitioned_groups(ds, keys: list[str], partition_fn, num_partitions: int = 16):
+    """Co-locate every key group into one of ``num_partitions`` hash
+    partitions, then run ``partition_fn`` ONCE per partition over the
+    whole partition table (all groups of that partition at once).
+
+    Replacement for ``groupby(keys).map_groups(fn)`` when group count is
+    large: Ray's map_groups pays per-group Python overhead (measured
+    ~0.1-0.2 ms/group — minutes at web-scale cardinality), while here
+    the keyed exchange has exactly P groups and the caller's fn is
+    vectorized over all buckets (lexsort + boundary scan / reduceat).
+    ``partition_fn`` receives a ``pa.Table`` without the ``_part``
+    column and must handle multiple key groups itself.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", pa.array(_part_of(batch, keys, num_partitions))
+        )
+
+    def run(tbl: pa.Table) -> pa.Table:
+        return partition_fn(tbl.drop_columns(["_part"]))
+
+    return (
+        ds.map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
+        )
+        .groupby("_part")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
 def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int = 16,
                   final_mode: str = "partition"):
     """count(*) per key group, pre-aggregated per batch."""
