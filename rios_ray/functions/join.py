@@ -1,0 +1,115 @@
+"""Partitioned lookup joins without Ray's join operator.
+
+Ray 2.49's ``Dataset.join`` spins up a pool of hash-aggregator actors
+per call — measured multi-second fixed cost per join even on tiny
+inputs, and two chained joins serialize their pools.  For the common
+case of this engine (attach columns from a side keyed UNIQUELY by the
+join key, or semi-join filter against such a side), the same exchange
+is expressible as: tag both sides with a deterministic key-hash
+partition id, union them (one streamed keyed exchange with exactly
+``num_partitions`` groups), and gather within each partition with a
+vectorized argsort + searchsorted.  Shuffle volume is identical to a
+hash join; the per-call fixed cost is one ``groupby``.
+
+This is the J1 "multi-input alignment" pattern of the reference
+(``/root/reference/rios/structures.py:587-616``) applied to relational
+keys instead of tile keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import hash_partitioned_groups
+
+JOIN_BATCH = 65536
+
+
+def partitioned_lookup_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    left_cols: list[tuple[str, pa.DataType]],
+    attach_cols: list[tuple[str, pa.DataType, str]],
+    num_partitions: int = 16,
+):
+    """Inner lookup join: keep left rows whose ``left_key`` exists in
+    ``right`` (keyed uniquely by ``right_key``), attaching each
+    ``(right_col, type, out_name)`` in ``attach_cols``.
+
+    ``left_cols`` declares the left columns (name, type) to carry
+    through — schemas must be stated up front because the two sides are
+    union-ed into one exchange.  With ``attach_cols=[]`` this is a
+    distributed semi-join filter.
+    """
+    l_names = [n for n, _ in left_cols]
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "_key": b[left_key],
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for name, typ in left_cols:
+            cols[name] = b[name].cast(typ) if b[name].type != typ else b[name]
+        for rcol, typ, _ in attach_cols:
+            cols["_r_" + rcol] = pa.nulls(n, typ)
+        return pa.table(cols)
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_key": b[right_key],
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for name, typ in left_cols:
+            cols[name] = pa.nulls(n, typ)
+        for rcol, typ, _ in attach_cols:
+            cols["_r_" + rcol] = b[rcol].cast(typ) if b[rcol].type != typ else b[rcol]
+        return pa.table(cols)
+
+    u = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=JOIN_BATCH
+    ).union(
+        right.map_batches(
+            right_rows,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=JOIN_BATCH,
+        )
+    )
+
+    def empty() -> pa.Table:
+        cols = {n: pa.array([], type=t) for n, t in left_cols}
+        for _, typ, out in attach_cols:
+            cols[out] = pa.array([], type=typ)
+        return pa.table(cols)
+
+    def gather(tbl: pa.Table) -> pa.Table:
+        side = tbl["_side"].to_numpy()
+        keys = tbl["_key"].to_numpy(zero_copy_only=False)
+        ridx = np.flatnonzero(side == 0)
+        lidx = np.flatnonzero(side == 1)
+        if len(lidx) == 0 or len(ridx) == 0:
+            return empty()
+        rkeys = keys[ridx]
+        rorder = np.argsort(rkeys)
+        rsorted = rkeys[rorder]
+        lkeys = keys[lidx]
+        pos = np.searchsorted(rsorted, lkeys)
+        pos_c = np.minimum(pos, len(rsorted) - 1)
+        hit = rsorted[pos_c] == lkeys
+        lkeep = lidx[hit]
+        if len(lkeep) == 0:
+            return empty()
+        src = ridx[rorder][pos_c[hit]]
+        lt = tbl.select(l_names).take(pa.array(lkeep))
+        cols = {n: lt[n] for n in l_names}
+        for rcol, _, out in attach_cols:
+            cols[out] = pc.take(tbl.column("_r_" + rcol).combine_chunks(), pa.array(src))
+        return pa.table(cols)
+
+    return hash_partitioned_groups(u, ["_key"], gather, num_partitions)

@@ -271,82 +271,24 @@ def minhash_candidates(
 
 def _attach_texts(pairs, docs, key_col: str, out_col: str, num_partitions: int):
     """Hash-partitioned lookup join: attach each pair's ``key_col``
-    document text as ``out_col``.
+    document text as ``out_col`` (same exchange volume as a hash join,
+    none of Ray's join-operator actor-pool fixed cost — measured: two
+    chained ``Dataset.join`` calls cost ~11 s on a 500-doc input; this
+    path ~1 s)."""
+    from ..functions.join import partitioned_lookup_join
 
-    Union of (side=1 pair rows keyed by ``key_col``) and (side=0 doc
-    rows keyed by doc_id) → one keyed exchange with ``num_partitions``
-    groups → per-partition vectorized gather (argsort + searchsorted).
-    Same shuffle volume as a hash join, none of Ray's join-operator
-    actor-pool fixed cost (measured: two chained ``Dataset.join`` calls
-    cost ~11 s on a 500-doc input; this path ~1 s)."""
-    from ..functions.agg import hash_partitioned_groups
-
-    str_t = pa.string()
-
-    def pair_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "_key": b[key_col],
-                "_side": pa.array(np.ones(n, dtype=np.int8)),
-                "doc_a": b["doc_a"],
-                "doc_b": b["doc_b"],
-                "text_a": b["text_a"]
-                if "text_a" in b.column_names
-                else pa.nulls(n, str_t),
-                "_text": pa.nulls(n, str_t),
-            }
-        )
-
-    def doc_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "_key": b["doc_id"],
-                "_side": pa.array(np.zeros(n, dtype=np.int8)),
-                "doc_a": pa.nulls(n, pa.int64()),
-                "doc_b": pa.nulls(n, pa.int64()),
-                "text_a": pa.nulls(n, str_t),
-                "_text": b["text"],
-            }
-        )
-
-    u = pairs.map_batches(
-        pair_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
-    ).union(
-        docs.map_batches(
-            doc_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
-        )
+    left_cols = [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    if out_col == "text_b":
+        left_cols.append(("text_a", pa.string()))
+    return partitioned_lookup_join(
+        pairs,
+        docs,
+        key_col,
+        "doc_id",
+        left_cols,
+        [("text", pa.string(), out_col)],
+        num_partitions,
     )
-
-    def attach(tbl: pa.Table) -> pa.Table:
-        side = tbl["_side"].to_numpy()
-        keys = tbl["_key"].to_numpy(zero_copy_only=False)
-        doc_idx = np.flatnonzero(side == 0)
-        pair_idx = np.flatnonzero(side == 1)
-        cols: dict[str, pa.Array] = {}
-        if len(pair_idx) == 0:
-            cols = {
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "text_a": pa.array([], type=str_t),
-            }
-            if out_col == "text_b":
-                cols["text_b"] = pa.array([], type=str_t)
-            return pa.table(cols)
-        dorder = np.argsort(keys[doc_idx])
-        src = doc_idx[dorder][
-            np.searchsorted(keys[doc_idx][dorder], keys[pair_idx])
-        ]
-        attached = pc.take(tbl.column("_text").combine_chunks(), pa.array(src))
-        pt = tbl.select(["doc_a", "doc_b", "text_a"]).take(pa.array(pair_idx))
-        cols = {"doc_a": pt["doc_a"], "doc_b": pt["doc_b"]}
-        cols["text_a"] = attached if out_col == "text_a" else pt["text_a"]
-        if out_col == "text_b":
-            cols["text_b"] = attached
-        return pa.table(cols)
-
-    return hash_partitioned_groups(u, ["_key"], attach, num_partitions)
 
 
 def _verify_jaccard(threshold: float, ngram: int):

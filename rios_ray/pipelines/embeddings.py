@@ -353,22 +353,28 @@ def cosine_neardup_lsh(
                 }
             )
 
-    def verify(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        keep = np.concatenate([[True], ids[1:] != ids[:-1]])
-        mat = batch_matrix(group["emb_n"])[order][keep]
-        ids = ids[keep]
-        n = len(ids)
-        if n < 2:
+    def verify(tbl: pa.Table) -> pa.Table:
+        # all (band, key) buckets of one hash partition at once
+        # (a vec emits one row per band, so buckets hold distinct ids)
+        band = tbl["band"].to_numpy()
+        key = tbl["key"].to_numpy()
+        ids = tbl["vec_id"].to_numpy()
+        order = np.lexsort((ids, key, band))
+        band_s, key_s, ids_s = band[order], key[order], ids[order]
+        mat = batch_matrix(tbl["emb_n"])[order]
+        new = np.concatenate(
+            [[True], (band_s[1:] != band_s[:-1]) | (key_s[1:] != key_s[:-1])]
+        )
+        from .dedup import _run_pair_indices
+
+        ia, ib = _run_pair_indices(new)
+        if len(ia) == 0:
             return pa.table(
                 {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
             )
-        cos = mat @ mat.T
-        ia, ib = np.triu_indices(n, k=1)
-        ok = cos[ia, ib] >= threshold
-        return pa.table({"vec_a": pa.array(ids[ia][ok]), "vec_b": pa.array(ids[ib][ok])})
+        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        ok = cos >= threshold
+        return pa.table({"vec_a": pa.array(ids_s[ia][ok]), "vec_b": pa.array(ids_s[ib][ok])})
 
     bands = neardup_corpus(sf_dir).map_batches(
         BandRows,
@@ -377,9 +383,10 @@ def cosine_neardup_lsh(
         batch_size=BATCH_SIZE,
         concurrency=default_pool(),
     )
-    pairs = bands.groupby(["band", "key"]).map_groups(verify, batch_format="pyarrow")
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+
+    pairs = hash_partitioned_groups(bands, ["band", "key"], verify)
     # a pair can collide in several bands — dedupe (vectorized aggregate)
-    from ..functions.agg import hash_grouped_aggregate
 
     return hash_grouped_aggregate(
         pairs, ["vec_a", "vec_b"], [(None, "count", "_nb")]

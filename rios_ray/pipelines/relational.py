@@ -13,8 +13,10 @@ banker's-rounding and DuckDB ``round`` is half-away — neither is used.)
 
 Join strategy mirrors the 100 TB plan: small dimensions (region,
 nation, customer-at-test-scale) broadcast via ``ray.put`` and map-side
-hash lookup; the big fact-to-fact join (orders x lineitem) is Ray's
-hash shuffle join with partitions sized to the session.
+hash lookup; the big fact-to-fact join (orders x lineitem) is the
+partitioned union exchange of ``functions/join.py`` — hash-join shuffle
+volume without Ray's join-operator actor-pool fixed cost — with
+partitions sized to the session.
 """
 
 from __future__ import annotations
@@ -127,19 +129,21 @@ def q3_top_orders(
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         prep_li, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
     )
-    joined = li.join(
+    # semi-join filter: keep lineitems whose order survives the segment
+    # filter (partitioned union exchange, see functions/join.py)
+    from ..functions.join import partitioned_lookup_join
+
+    joined = partitioned_lookup_join(
+        li,
         orders,
-        "inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        "l_orderkey",
+        "o_orderkey",
+        [("l_orderkey", pa.int64()), ("rev_cents", pa.int64())],
+        [],
+        _join_partitions(),
     )
     per_order = hash_grouped_aggregate(
-        joined.map_batches(
-            lambda b: b.select(["l_orderkey", "rev_cents"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
+        joined,
         ["l_orderkey"],
         [("rev_cents", "sum", "revenue_cents")],
     )
@@ -179,13 +183,31 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    joined = li.join(
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH)
+    from ..functions.join import partitioned_lookup_join
+
+    joined = partitioned_lookup_join(
+        li,
         orders,
-        "inner",
-        num_partitions=_join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+        "l_orderkey",
+        "o_orderkey",
+        [("l_suppkey", pa.int64()), ("rev_cents", pa.int64())],
+        [("o_custkey", pa.int64(), "o_custkey")],
+        _join_partitions(),
     )
 
     def tag(b: pa.Table) -> pa.Table:
@@ -197,13 +219,11 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
         keep = sn == cn
         b = b.filter(pa.array(keep))
         sn = sn[keep]
-        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = b["l_discount"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "r_name": pa.array([rname_[nreg_[n]] for n in sn], type=pa.string()),
                 "n_name": pa.array([nk_[n] for n in sn], type=pa.string()),
-                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+                "rev_cents": b["rev_cents"],
             }
         )
 
