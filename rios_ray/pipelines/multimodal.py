@@ -50,27 +50,39 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # payload passthrough is zero-copy; the tag itself is per-url
+    # metadata, so a relational-sized batch is fine here
     return read_pages(sf_dir, columns=["url", "html"]).map_batches(
-        tag, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=DEFAULT_MEDIA_BATCH,
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
     )
 
 
 def image_features(
-    sf_dir: str, out_h: int = 8, out_w: int = 8, concurrency=None
+    sf_dir: str,
+    out_h: int = 8,
+    out_w: int = 8,
+    concurrency=None,
+    batch_size: int | None = None,
 ) -> ray.data.Dataset:
-    """decode (stub codec) -> resize (real) -> per-channel stats (real)."""
+    """decode (stub codec) -> resize (real) -> per-channel stats (real).
+
+    ``batch_size`` defaults to 1024 here because the synthetic images
+    are tiny (<=16x16x3, ~1 KB tensors); with real megapixel payloads
+    pass DEFAULT_MEDIA_BATCH so batch x concurrency stays in worker
+    heaps."""
     from ..util import default_pool
 
     if concurrency is None:
         concurrency = default_pool()
+    if batch_size is None:
+        batch_size = 1024
     ds = media_table(sf_dir)
     ds = ds.map_batches(
         ImageDecodeStage,
         fn_constructor_kwargs={"codec": "auto"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=DEFAULT_MEDIA_BATCH,
+        batch_size=batch_size,
         concurrency=concurrency,
     )
     ds = ds.map_batches(
@@ -78,14 +90,14 @@ def image_features(
         fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=DEFAULT_MEDIA_BATCH,
+        batch_size=batch_size,
         concurrency=concurrency,
     )
     return ds.map_batches(
         ImageFeatureStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=DEFAULT_MEDIA_BATCH,
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 
@@ -101,6 +113,6 @@ def frame_samples(sf_dir: str, concurrency=None) -> ray.data.Dataset:
         fn_constructor_kwargs={"frame_bytes": FRAME_BYTES, "every": FRAME_EVERY},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=DEFAULT_MEDIA_BATCH,
+        batch_size=512,  # payloads are ~hundreds of bytes in the fixture
         concurrency=concurrency,
     )

@@ -41,14 +41,9 @@ def _payload_bytes(col) -> list[bytes]:
     return [b.as_py() if b is not None else b"" for b in col]
 
 
-def _pixels_table(
-    base: dict, pixel_rows: list[np.ndarray], heights: np.ndarray, widths: np.ndarray
+def _pixels_table_flat(
+    base: dict, flat: np.ndarray, heights: np.ndarray, widths: np.ndarray
 ) -> pa.Table:
-    flat = (
-        np.concatenate([p.ravel() for p in pixel_rows])
-        if pixel_rows
-        else np.zeros(0, dtype=np.uint8)
-    )
     lengths = heights.astype(np.int64) * widths.astype(np.int64) * _CHANNELS
     offs = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
     cols = dict(base)
@@ -59,6 +54,17 @@ def _pixels_table(
     cols["width"] = pa.array(widths.astype(np.int32))
     cols["channels"] = pa.array(np.full(len(heights), _CHANNELS, dtype=np.int32))
     return pa.table(cols)
+
+
+def _pixels_table(
+    base: dict, pixel_rows: list[np.ndarray], heights: np.ndarray, widths: np.ndarray
+) -> pa.Table:
+    flat = (
+        np.concatenate([p.ravel() for p in pixel_rows])
+        if pixel_rows
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return _pixels_table_flat(base, flat, heights, widths)
 
 
 def _rows_matrices(batch: pa.Table) -> list[np.ndarray]:
@@ -76,24 +82,50 @@ def _rows_matrices(batch: pa.Table) -> list[np.ndarray]:
     ]
 
 
-def fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
-    """Deterministic stand-in for a real image codec.
+def fake_decode_batch(
+    payloads: list[bytes], heights: np.ndarray, widths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized deterministic stand-in for a real image codec.
 
-    Seeds an xorshift64* stream from the payload's FNV hash and fills
-    (h, w, 3) uint8 — stable across runs/processes, unique per payload.
+    Seeds an xorshift64* stream from each payload's FNV hash (of a
+    bounded 64-byte prefix) and fills (h, w, 3) uint8 per row — stable
+    across runs/processes, unique per payload.  One vectorized pass for
+    the whole batch; returns (flat uint8 pixels, per-row byte offsets
+    with a trailing total).
     """
-    h = np.uint64(14695981039346656037)
+    from ..dedup.hashing import fnv1a64
+
+    seeds = fnv1a64([p[:64] for p in payloads])
+    n_bytes = (heights.astype(np.int64) * widths.astype(np.int64) * _CHANNELS)
+    n_words = -(-n_bytes // 8)
+    word_off = np.concatenate([[0], np.cumsum(n_words)]).astype(np.int64)
+    total_words = int(word_off[-1])
+    # per-word counter 1..n_words[i] within each row, then + row seed
+    ctr = np.arange(1, total_words + 1, dtype=np.uint64) - np.repeat(
+        word_off[:-1].astype(np.uint64), n_words
+    )
     with np.errstate(over="ignore"):
-        for byte in payload[:64]:  # bounded: hash a prefix, not the blob
-            h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
-        n = height * width * _CHANNELS
-        n_words = -(-n // 8)
-        x = (h + np.arange(1, n_words + 1, dtype=np.uint64)) | np.uint64(1)
+        x = (np.repeat(seeds, n_words) + ctr) | np.uint64(1)
         x ^= x >> np.uint64(12)
         x ^= x << np.uint64(25)
         x ^= x >> np.uint64(27)
         x *= np.uint64(0x2545F4914F6CDD1D)
-    return x.view(np.uint8)[:n].reshape(height, width, _CHANNELS)
+    all_bytes = x.view(np.uint8)
+    # trim each row's 8*n_words block down to its n_bytes
+    byte_pos = np.arange(8 * total_words, dtype=np.int64) - np.repeat(
+        word_off[:-1] * 8, n_words * 8
+    )
+    flat = all_bytes[byte_pos < np.repeat(n_bytes, n_words * 8)]
+    offs = np.concatenate([[0], np.cumsum(n_bytes)]).astype(np.int64)
+    return flat, offs
+
+
+def fake_decode(payload: bytes, height: int, width: int) -> np.ndarray:
+    """Single-row convenience wrapper over :func:`fake_decode_batch`."""
+    flat, _ = fake_decode_batch(
+        [payload], np.array([height]), np.array([width])
+    )
+    return flat.reshape(height, width, _CHANNELS)
 
 
 class ImageDecodeStage:
@@ -134,12 +166,9 @@ class ImageDecodeStage:
             ]
             heights = np.array([r.shape[0] for r in rows])
             widths = np.array([r.shape[1] for r in rows])
-        else:
-            rows = [
-                fake_decode(p, int(h), int(w))
-                for p, h, w in zip(payloads, heights, widths)
-            ]
-        return _pixels_table({self.id_col: b[self.id_col]}, rows, heights, widths)
+            return _pixels_table({self.id_col: b[self.id_col]}, rows, heights, widths)
+        flat, _ = fake_decode_batch(payloads, heights, widths)
+        return _pixels_table_flat({self.id_col: b[self.id_col]}, flat, heights, widths)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -157,13 +186,30 @@ class ResizeStage:
         self.out_h, self.out_w, self.id_col = out_h, out_w, id_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        rows = [resize_nearest(m, self.out_h, self.out_w) for m in _rows_matrices(b)]
-        n = len(rows)
-        return _pixels_table(
+        # one vectorized gather for the whole batch: per row, nearest
+        # source (row, col) indices into the flat pixel buffer
+        px = b["pixels"]
+        if isinstance(px, pa.ChunkedArray):
+            px = px.combine_chunks()
+        flat = px.flatten().to_numpy(zero_copy_only=False)
+        offs = px.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = b["height"].to_numpy().astype(np.int64)
+        w = b["width"].to_numpy().astype(np.int64)
+        n = len(h)
+        oh, ow = self.out_h, self.out_w
+        ri = (np.arange(oh, dtype=np.int64)[None, :] * h[:, None]) // oh  # (n, oh)
+        ci = (np.arange(ow, dtype=np.int64)[None, :] * w[:, None]) // ow  # (n, ow)
+        base = (
+            offs[:-1][:, None, None]
+            + (ri[:, :, None] * w[:, None, None] + ci[:, None, :]) * _CHANNELS
+        )  # (n, oh, ow)
+        idx = base[..., None] + np.arange(_CHANNELS, dtype=np.int64)
+        out = flat[idx.ravel()] if n else np.zeros(0, dtype=np.uint8)
+        return _pixels_table_flat(
             {self.id_col: b[self.id_col]},
-            rows,
-            np.full(n, self.out_h),
-            np.full(n, self.out_w),
+            out,
+            np.full(n, oh),
+            np.full(n, ow),
         )
 
 
@@ -181,17 +227,29 @@ class ImageFeatureStage:
         self.id_col = id_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        means, stds, hists = [], [], []
-        for m in _rows_matrices(b):
-            f = m.reshape(-1, _CHANNELS).astype(np.float64)
-            means.append(f.mean(axis=0))
-            stds.append(f.std(axis=0))
-            luma = 0.299 * f[:, 0] + 0.587 * f[:, 1] + 0.114 * f[:, 2]
-            hists.append(np.bincount(
-                (luma / 256.0 * self.N_BINS).astype(np.int64), minlength=self.N_BINS
-            ))
-        mean = np.array(means)
-        std = np.array(stds)
+        # vectorized over the whole batch: per-row reductions via
+        # reduceat over the flat (n_pixels, 3) view
+        px = b["pixels"]
+        if isinstance(px, pa.ChunkedArray):
+            px = px.combine_chunks()
+        flat = px.flatten().to_numpy(zero_copy_only=False)
+        offs = px.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(offs) - 1
+        f = flat.reshape(-1, _CHANNELS).astype(np.float64)  # (total_px, 3)
+        px_off = offs[:-1] // _CHANNELS
+        counts = np.diff(offs) // _CHANNELS
+        s = np.add.reduceat(f, px_off, axis=0)
+        ssq = np.add.reduceat(f * f, px_off, axis=0)
+        mean = s / counts[:, None]
+        var = np.maximum(ssq / counts[:, None] - mean * mean, 0.0)
+        std = np.sqrt(var)
+        luma = 0.299 * f[:, 0] + 0.587 * f[:, 1] + 0.114 * f[:, 2]
+        bins = (luma / 256.0 * self.N_BINS).astype(np.int64)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        hist = np.bincount(
+            row_of * self.N_BINS + bins, minlength=n * self.N_BINS
+        ).reshape(n, self.N_BINS)
+        hoffs = np.arange(0, (n + 1) * self.N_BINS, self.N_BINS, dtype=np.int64)
         return pa.table(
             {
                 self.id_col: b[self.id_col],
@@ -201,8 +259,9 @@ class ImageFeatureStage:
                 "std_r": pa.array(std[:, 0]),
                 "std_g": pa.array(std[:, 1]),
                 "std_b": pa.array(std[:, 2]),
-                "luma_hist": pa.array([h_.tolist() for h_ in hists],
-                                      type=pa.list_(pa.int64())),
+                "luma_hist": pa.LargeListArray.from_arrays(
+                    pa.array(hoffs), pa.array(hist.ravel())
+                ).cast(pa.list_(pa.int64())),
             }
         )
 
