@@ -265,6 +265,12 @@ def _q_rel_q5(sf_dir: str):
     return R.q5_nation_revenue(sf_dir)
 
 
+def _q_rel_q14(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q14_type_revenue(sf_dir)
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_nation_revenue": _q_rel_q5,
+        "rel_q14_type_revenue": _q_rel_q14,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -591,6 +598,12 @@ def _relational_oracle_sql() -> dict[str, str]:
               JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
              GROUP BY r_name, n_name
+        """,
+        "rel_q14_type_revenue": f"""
+            SELECT p_type, {rev} AS revenue_cents, count(*) AS n_lines
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+             GROUP BY p_type
         """,
     }
 

@@ -155,6 +155,53 @@ def q3_top_orders(
     return df.reset_index(drop=True)
 
 
+def q14_type_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Q14-style: discounted revenue + line count per part type.
+
+    The ``part`` dimension broadcasts once (``ray.put`` of a sorted key
+    array + dictionary-coded types); the lineitem scan is pruned to 3
+    columns and aggregates map-side — no shuffle beyond the tiny final
+    combine.  At 100 TB the part table is still the broadcast side
+    (it grows with catalog size, not with page count)."""
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pkeys = part["p_partkey"].to_numpy()
+    order = np.argsort(pkeys)
+    tdict = part["p_type"].combine_chunks().dictionary_encode()
+    type_names = tdict.dictionary.to_pylist()
+    type_codes = tdict.indices.to_numpy().astype(np.int32)
+    bcast = ray.put((pkeys[order], type_codes[order], type_names))
+
+    def tag(b: pa.Table) -> pa.Table:
+        skeys, codes, names = ray.get(bcast)
+        lk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, lk)
+        pos_c = np.minimum(pos, len(skeys) - 1)
+        hit = skeys[pos_c] == lk
+        b = b.filter(pa.array(hit))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_type": pa.DictionaryArray.from_arrays(
+                    pa.array(codes[pos_c[hit]]), pa.array(names, type=pa.string())
+                ).cast(pa.string()),
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH)
+    return hash_grouped_aggregate(
+        ds,
+        ["p_type"],
+        [("rev_cents", "sum", "revenue_cents"), (None, "count", "n_lines")],
+        final_mode="tree",  # bounded key count (part types)
+    )
+
+
 def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     """Q5-style: discounted revenue per (region, nation) where customer
     and supplier share the nation.  All dimensions broadcast (nation /

@@ -73,3 +73,25 @@ def test_q5(ray_session, con):
     assert got["r_name"].tolist() == want["r_name"].tolist()
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+def test_q14(ray_session, con):
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS part AS SELECT * FROM read_parquet('{SF}/part.parquet')"
+    )
+    got = (
+        R.q14_type_revenue(SF)
+        .to_pandas()
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT p_type,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_lines
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+         GROUP BY p_type ORDER BY p_type""").df()
+    assert got["p_type"].tolist() == want["p_type"].tolist()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got["n_lines"].tolist() == want["n_lines"].tolist()
