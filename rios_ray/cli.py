@@ -1,15 +1,26 @@
 """CLI entry points — the ``rioscalcstats`` / ``riosprintstats``
 analogues (reference ``cmdline/rioscalcstats.py:53-73`` and
-``cmdline/riosprintstats.py:40-58``) over tile-raster parquet files.
+``cmdline/riosprintstats.py:40-58``) over tile-raster parquet files,
+plus the cluster job entry (the ``ray job submit`` payload).
 
 Usage::
 
     python -m rios_ray.cli calcstats  <tileraster> [<tileraster> ...]
     python -m rios_ray.cli printstats <tileraster> [<tileraster> ...]
+    python -m rios_ray.cli run --sf-dir DIR --out DIR [--fresh]
 
 ``calcstats`` recomputes single-pass basic stats (+ histogram-derived
 median/mode) and rewrites the manifest sidecar; ``printstats`` dumps
-the stored stats.  These own a Ray session (scripts, not library code).
+the stored stats.  ``run`` executes (or resumes) the checkpointed
+flagship pipeline — on a cluster submit it as::
+
+    ray job submit --working-dir . -- python -m rios_ray.cli run \
+        --sf-dir /data/pages --out /data/out
+
+A re-submitted job skips partitions with committed lineage records
+(see runtime.py), so preemption costs one partition of rework.
+These commands own a Ray session (scripts, not library code); under
+``ray job submit`` they attach to the cluster via RAY_ADDRESS.
 """
 
 from __future__ import annotations
@@ -96,6 +107,37 @@ def cmd_printstats(paths: list[str]) -> int:
     return rc
 
 
+def cmd_run(sf_dir: str, out: str, fresh: bool = False) -> int:
+    """The ``ray job submit`` payload: run or resume the checkpointed
+    flagship pipeline at input-shard granularity, then finalize."""
+    import shutil
+
+    import ray
+
+    own_session = not ray.is_initialized()
+    if own_session:
+        # under `ray job submit` RAY_ADDRESS points at the cluster;
+        # standalone it is "local" in this sandbox
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from .pipelines.resumable import finalize_flagship, resumable_flagship
+
+    if fresh:
+        shutil.rmtree(out, ignore_errors=True)
+    res = resumable_flagship(sf_dir, out)
+    final = finalize_flagship(out).to_pandas()
+    summary = {
+        "ran": res["ran"],
+        "skipped": res["skipped"],
+        "result_rows": len(final),
+        "total_pages": int(final["n_pages"].sum()),
+        "metrics": ray.get(res["collector"].summary.remote()),
+    }
+    print(json.dumps(summary))
+    if own_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="rios_ray.cli")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -106,10 +148,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="sampled-scan approximate stats (reference approx_ok)")
     p = sub.add_parser("printstats", help="print stored stats")
     p.add_argument("paths", nargs="+")
+    r = sub.add_parser("run", help="run/resume the flagship job (ray job submit payload)")
+    r.add_argument("--sf-dir", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--fresh", action="store_true",
+                   help="discard existing output + lineage first")
     args = ap.parse_args(argv)
     if args.cmd == "calcstats":
         return cmd_calcstats(args.paths, include_hist=not args.no_hist,
                              approx=args.approx)
+    if args.cmd == "run":
+        return cmd_run(args.sf_dir, args.out, fresh=args.fresh)
     return cmd_printstats(args.paths)
 
 

@@ -67,3 +67,21 @@ def test_calcstats_approx(ray_session, raster_path, capsys):
         # range, mean inside the bounds), not accuracy
         assert arr.min() <= s["min"] <= s["max"] <= arr.max()
         assert s["min"] <= s["mean"] <= s["max"]
+
+
+def test_run_job_entry_and_resume(ray_session, tmp_path, capsys):
+    """`run` (the ray-job-submit payload) commits lineage; a re-run
+    skips every committed partition and finalizes identically."""
+    out = str(tmp_path / "jobout")
+    assert cli.main(["run", "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", out, "--fresh"]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["ran"] and not first["skipped"]
+    assert first["result_rows"] > 0
+    assert cli.main(["run", "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", out]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not second["ran"]
+    assert set(second["skipped"]) == set(first["ran"])
+    assert second["result_rows"] == first["result_rows"]
+    assert second["total_pages"] == first["total_pages"]
