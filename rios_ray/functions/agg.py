@@ -88,8 +88,15 @@ def hash_grouped_aggregate(
         g = b.group_by(keys).aggregate(spec)
         return g.rename_columns(list(keys) + [a for _, _, a in aggs])
 
+    # batch_size=None: one partial per input block.  A row-count batch
+    # here would also drive Ray's task bundling (min_rows_per_bundle)
+    # for the whole FUSED upstream chain — a 64k partial batch was
+    # observed to coarsen a 200-block stage into 75 tasks, and on noisy
+    # hosts coarse tasks mean stragglers.  Per-block partials keep task
+    # granularity at the read-block level and pre-aggregate at least as
+    # well (one combine over MORE rows).
     partials = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     if tree:
         return partials.repartition(1).map_batches(
@@ -122,7 +129,7 @@ def hash_partitioned_groups(ds, keys: list[str], partition_fn, num_partitions: i
 
     return (
         ds.map_batches(
-            tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=PARTIAL_BATCH
+            tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         .groupby("_part")
         .map_groups(run, batch_format="pyarrow")
