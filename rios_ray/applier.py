@@ -47,6 +47,7 @@ import pyarrow.parquet as pq
 from .gridmodel import (
     DEFAULT_BLOCK_XSIZE,
     DEFAULT_BLOCK_YSIZE,
+    DEFAULT_FOOTPRINT,
     DEFAULT_OVERLAP,
     INTERSECTION,
     BlockDefn,
@@ -63,6 +64,12 @@ class ResampleNeededError(ValueError):
     requested (reference ``applier.py:1268-1272``)."""
 
 
+class ApplierCancelledError(RuntimeError):
+    """Raised when the registered progress object's ``wasCancelled()``
+    returns True mid-run (reference ``cuiprogress.py:24-178`` duck-typed
+    cancel protocol, checked per block)."""
+
+
 @dataclass
 class ApplierControls:
     """Engine config (the essential subset of the reference's ~40
@@ -71,7 +78,7 @@ class ApplierControls:
     window_xsize: int = DEFAULT_BLOCK_XSIZE
     window_ysize: int = DEFAULT_BLOCK_YSIZE
     overlap: int = DEFAULT_OVERLAP
-    footprint: int = INTERSECTION
+    footprint: int = DEFAULT_FOOTPRINT
     reference: str | None = None  # symbolic name of the reference input
     ref_pixgrid: PixelGrid | None = None
     selected_layers: dict = field(default_factory=dict)  # name -> [band,...]
@@ -79,6 +86,11 @@ class ApplierControls:
     calc_stats: bool = True
     thematic: dict = field(default_factory=dict)  # out name -> bool
     resample_method: str | None = None  # "near" enables auto-resample
+    # generic per-image override channel (reference applier.py:166-201):
+    # (option, imagename) -> value, consulted before the global value
+    option_overrides: dict = field(default_factory=dict)
+    progress: object | None = None  # duck-typed: setProgress(pct), wasCancelled()
+    before_close_hooks: list = field(default_factory=list)  # (func, args)
 
     def setWindowXsize(self, n):
         self.window_xsize = n
@@ -120,6 +132,34 @@ class ApplierControls:
         if method not in ("near", None):
             raise ValueError("only nearest-neighbour resampling is supported")
         self.resample_method = method
+
+    def setOptionForImagename(self, option, imagename, value):
+        """Per-image override of any controls attribute, mirroring the
+        reference's generic override dict (``applier.py:166-201``) —
+        e.g. ``setOptionForImagename('calc_stats', 'mask', False)``."""
+        self.option_overrides[(option, imagename)] = value
+
+    def getOptionForImagename(self, option, imagename):
+        if (option, imagename) in self.option_overrides:
+            return self.option_overrides[(option, imagename)]
+        return getattr(self, option)
+
+    def setProgress(self, progress):
+        """Register a duck-typed progress object (``setProgress(pct)``
+        and optionally ``wasCancelled()``, reference
+        ``cuiprogress.py:24-178``).  Progress is reported from a driver
+        poller thread as blocks complete; if ``wasCancelled()`` turns
+        True the run aborts with :class:`ApplierCancelledError`."""
+        self.progress = progress
+
+    def callBeforeClose(self, func, *args):
+        """Register a pre-close hook (reference ``applier.py:845-858``):
+        ``func(handle, *args)`` runs once per output just before the
+        tile raster is written, where ``handle`` is a mutable dict
+        ``{"name", "table", "stats", "path"}`` — the analogue of the
+        reference passing the still-open GDAL dataset.  Mutations to
+        ``handle["stats"]`` / ``handle["table"]`` are written."""
+        self.before_close_hooks.append((func, args))
 
 
 class ReaderInfo:
@@ -279,8 +319,29 @@ def make_fragment_fn(name: str, dtype, off_y: int, off_x: int, wg_nrows: int,
     return fragment
 
 
+class _ProgressState:
+    """Block-completion counter + cancel flag shared between the driver
+    poller thread and the assemble tasks (wrapped in a zero-cpu Ray
+    actor only when a progress object is registered — no overhead
+    otherwise)."""
+
+    def __init__(self):
+        self.done = 0
+        self.cancel = False
+
+    def incr(self) -> bool:
+        self.done += 1
+        return self.cancel
+
+    def set_cancelled(self):
+        self.cancel = True
+
+    def state(self):
+        return self.done, self.cancel
+
+
 def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: int,
-                     margin: int, other_args=None):
+                     margin: int, other_args=None, progress_actor=None):
     """groupby(block_id).map_groups body: align inputs, nodata-fill, run
     the user function, margin-trim outputs."""
     wg_nrows, wg_ncols = wg.dimensions()
@@ -288,6 +349,11 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
     nby = -(-wg_nrows // B_y)
 
     def assemble(group: pa.Table) -> pa.Table:
+        if progress_actor is not None:
+            import ray
+
+            if ray.get(progress_actor.incr.remote()):
+                raise ApplierCancelledError("cancelled by progress object")
         block_id = int(group["block_id"][0].as_py())
         top, left, ys, xs = _block_geom(block_id, wg_nrows, wg_ncols, B_y, B_x)
         block = BlockDefn(top, left, ys, xs)
@@ -579,9 +645,36 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
         )
         frag_ds = f if frag_ds is None else frag_ds.union(f)
 
+    # ---- progress / cancellation plumbing (only when registered) ----
+    progress_actor = None
+    poller = None
+    stop_evt = None
+    if controls.progress is not None:
+        import threading
+
+        import ray
+
+        progress_actor = ray.remote(num_cpus=0)(_ProgressState).remote()
+        n_blocks_total = nbx * nby
+        prog, actor = controls.progress, progress_actor
+        stop_evt = threading.Event()
+
+        def _poll():
+            while not stop_evt.is_set():
+                done, _ = ray.get(actor.state.remote())
+                prog.setProgress(min(100, int(100 * done / max(1, n_blocks_total))))
+                if getattr(prog, "wasCancelled", lambda: False)():
+                    ray.get(actor.set_cancelled.remote())
+                    return
+                stop_evt.wait(0.2)
+
+        poller = threading.Thread(target=_poll, daemon=True)
+        poller.start()
+
     # ---- assemble + user fn + margin trim ----
     out_ds = frag_ds.groupby("block_id").map_groups(
-        make_assemble_fn(user_fn, input_meta, wg, B_y, B_x, m, other_args),
+        make_assemble_fn(user_fn, input_meta, wg, B_y, B_x, m, other_args,
+                         progress_actor),
         batch_format="pyarrow",
     )
 
@@ -591,7 +684,19 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
             os.path.dirname(next(iter(outfiles.values()))) or "."
         )
     scratch = os.path.join(out_dir, "_applier_run")
-    out_ds.write_parquet(scratch, partition_cols=["name"])
+    try:
+        out_ds.write_parquet(scratch, partition_cols=["name"])
+    except Exception as e:
+        cause = getattr(e, "cause", None)
+        if isinstance(cause, ApplierCancelledError) or "ApplierCancelledError" in str(e):
+            raise ApplierCancelledError("cancelled by progress object") from None
+        raise
+    finally:
+        if stop_evt is not None:
+            stop_evt.set()
+            poller.join(timeout=2)
+    if controls.progress is not None:
+        controls.progress.setProgress(100)
 
     # ---- finalize: per-output manifest + optional stats; other_args ----
     other_args_list = []
@@ -628,11 +733,15 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
             }
         )
         stats = None
-        if controls.calc_stats:
+        if controls.getOptionForImagename("calc_stats", name):
             from .stats import StatsAccumulator
 
-            nullval = controls.stats_ignore.get(name)
-            thematic = controls.thematic.get(name, False)
+            nullval = controls.option_overrides.get(
+                ("stats_ignore", name), controls.stats_ignore.get(name)
+            )
+            thematic = controls.option_overrides.get(
+                ("thematic", name), controls.thematic.get(name, False)
+            )
             acc_by_band: dict[int, StatsAccumulator] = {}
             bands_np = t["band"].to_numpy(zero_copy_only=False)
             for i in range(t.num_rows):
@@ -653,14 +762,27 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
                     "stddev": std,
                     "count": acc.count,
                 }
+        # pre-close hooks: user sees (and may mutate) the assembled tile
+        # table + stats before anything is written (reference
+        # callBeforeClose, applier.py:845-858)
+        if controls.before_close_hooks:
+            handle = {"name": name, "table": tile_table, "stats": stats, "path": path}
+            for func, hook_args in controls.before_close_hooks:
+                func(handle, *hook_args)
+            tile_table, stats = handle["table"], handle["stats"]
+
         out_infos[name] = write_tile_raster(
             path,
             tile_table,
             wg,
             nbands,
             dtype,
-            nullval=controls.stats_ignore.get(name),
-            thematic=controls.thematic.get(name, False),
+            nullval=controls.option_overrides.get(
+                ("stats_ignore", name), controls.stats_ignore.get(name)
+            ),
+            thematic=controls.option_overrides.get(
+                ("thematic", name), controls.thematic.get(name, False)
+            ),
             stats=stats,
         )
 

@@ -31,9 +31,27 @@ INTERSECTION = 0
 UNION = 1
 BOUNDS_FROM_REFERENCE = 2
 
-DEFAULT_BLOCK_XSIZE = 256
-DEFAULT_BLOCK_YSIZE = 256
-DEFAULT_OVERLAP = 0
+
+def _env_default(name: str, fallback: int) -> int:
+    """Env-overridable engine default, mirroring the reference's
+    ``RIOS_DFLT_BLOCKXSIZE``/``BLOCKYSIZE``/``OVERLAP``/``FOOTPRINT``
+    import-time configuration (``imagereader.py:42-46``,
+    ``const.py:49-95``).  ``RIOS_RAY_DFLT_*`` wins; the reference's
+    ``RIOS_DFLT_*`` names are honoured as a fallback so existing user
+    environments carry over unchanged."""
+    import os
+
+    for var in (f"RIOS_RAY_DFLT_{name}", f"RIOS_DFLT_{name}"):
+        val = os.environ.get(var)
+        if val is not None:
+            return int(val)
+    return fallback
+
+
+DEFAULT_BLOCK_XSIZE = _env_default("BLOCKXSIZE", 256)
+DEFAULT_BLOCK_YSIZE = _env_default("BLOCKYSIZE", 256)
+DEFAULT_OVERLAP = _env_default("OVERLAP", 0)
+DEFAULT_FOOTPRINT = _env_default("FOOTPRINT", INTERSECTION)
 
 
 class GridError(ValueError):

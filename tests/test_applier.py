@@ -361,3 +361,112 @@ def test_vector_input_non_intersecting_empty(fixtures, ray_session, tmp_path):
     apply(copy_mask, {"img": fixtures["ramp"].path, "mask": VectorInput(polys)},
           {"out": out_path}, controls=controls, out_dir=str(tmp_path))
     assert (_read_back(out_path)[0] == 0).all()
+
+
+# ---- §2.10 user-extension surface ----
+
+
+def test_env_default_plumbing(monkeypatch):
+    """RIOS_DFLT_* / RIOS_RAY_DFLT_* env-var defaults (reference
+    imagereader.py:42-46)."""
+    from rios_ray.gridmodel import _env_default
+
+    monkeypatch.setenv("RIOS_DFLT_BLOCKXSIZE", "512")
+    assert _env_default("BLOCKXSIZE", 256) == 512
+    monkeypatch.setenv("RIOS_RAY_DFLT_BLOCKXSIZE", "128")  # engine name wins
+    assert _env_default("BLOCKXSIZE", 256) == 128
+    monkeypatch.delenv("RIOS_RAY_DFLT_BLOCKXSIZE")
+    monkeypatch.delenv("RIOS_DFLT_BLOCKXSIZE")
+    assert _env_default("BLOCKXSIZE", 256) == 256
+
+
+def test_per_image_option_override(fixtures, tmp_path):
+    """setOptionForImagename (reference applier.py:166-201): stats on
+    for one output, suppressed for the other in the same run."""
+
+    def ident(info, inputs, outputs):
+        outputs.a = inputs.img
+        outputs.b = inputs.img
+
+    controls = ApplierControls()
+    controls.setOptionForImagename("calc_stats", "b", False)
+    out_a = str(tmp_path / "a.parquet")
+    out_b = str(tmp_path / "b.parquet")
+    apply(ident, {"img": fixtures["ramp"]}, {"a": out_a, "b": out_b},
+          controls=controls, out_dir=str(tmp_path))
+    assert read_stats_sidecar(out_a) is not None
+    assert read_stats_sidecar(out_b) is None
+    assert controls.getOptionForImagename("calc_stats", "a") is True
+    assert controls.getOptionForImagename("calc_stats", "b") is False
+
+
+class _Prog:
+    def __init__(self):
+        self.vals = []
+
+    def setProgress(self, pct):
+        self.vals.append(pct)
+
+
+def test_progress_reported(fixtures, tmp_path):
+    """Duck-typed progress object (reference cuiprogress.py): receives
+    monotonic percentages ending at 100."""
+
+    def ident(info, inputs, outputs):
+        outputs.out = inputs.img
+
+    controls = ApplierControls()
+    prog = _Prog()
+    controls.setProgress(prog)
+    controls.setCalcStats(False)
+    apply(ident, {"img": fixtures["ramp"]}, {"out": str(tmp_path / "p.parquet")},
+          controls=controls, out_dir=str(tmp_path))
+    assert prog.vals, "no progress reported"
+    assert prog.vals[-1] == 100
+    assert all(b >= a for a, b in zip(prog.vals, prog.vals[1:]))
+
+
+def test_progress_cancellation(fixtures, tmp_path):
+    """wasCancelled() True aborts the run with ApplierCancelledError
+    before all blocks execute."""
+    from rios_ray.applier import ApplierCancelledError
+
+    class CancelProg(_Prog):
+        def wasCancelled(self):
+            return True
+
+    def slow(info, inputs, outputs):
+        import time
+
+        time.sleep(0.4)
+        outputs.out = inputs.img
+
+    controls = ApplierControls()
+    controls.setProgress(CancelProg())
+    controls.setCalcStats(False)
+    controls.setWindowXsize(128)
+    controls.setWindowYsize(128)
+    with pytest.raises(ApplierCancelledError):
+        apply(slow, {"img": fixtures["ramp"]}, {"out": str(tmp_path / "c.parquet")},
+              controls=controls, out_dir=str(tmp_path))
+
+
+def test_call_before_close_hook(fixtures, tmp_path):
+    """callBeforeClose (reference applier.py:845-858): hook sees each
+    output pre-write and its mutations are honoured."""
+    seen = []
+
+    def hook(handle, tag):
+        seen.append((handle["name"], tag))
+        handle["stats"] = None  # drop the stats sidecar
+
+    def ident(info, inputs, outputs):
+        outputs.out = inputs.img
+
+    controls = ApplierControls()
+    controls.callBeforeClose(hook, "t1")
+    out = str(tmp_path / "h.parquet")
+    apply(ident, {"img": fixtures["ramp"]}, {"out": out},
+          controls=controls, out_dir=str(tmp_path))
+    assert seen == [("out", "t1")]
+    assert read_stats_sidecar(out) is None
