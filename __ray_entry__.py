@@ -195,6 +195,18 @@ def _q_text_topk(sf_dir: str):
     return top_token_pages(sf_dir, k=100)
 
 
+def _q_text_pii(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.pii(sf_dir)
+
+
+def _q_decontaminate(sf_dir: str):
+    from rios_ray.pipelines.text import decontaminate
+
+    return decontaminate(sf_dir)
+
+
 def _q_dedup_exact(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -385,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_md5": _q_text_md5,
         "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
         "text_topk_tokens": _q_text_topk,
+        "text_pii": _q_text_pii,
+        "decontaminate": _q_decontaminate,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -461,7 +475,46 @@ def _text_oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS text_md5
               FROM documents
         """,
+        "text_pii": _pii_sql(),
+        "decontaminate": _decontaminate_sql(),
     }
+
+
+def _pii_sql() -> str:
+    """Same RE2 patterns, same nested-replace order as
+    ``analysis.pii_scan`` (imported, so they can never drift)."""
+    from rios_ray.text.analysis import PII_RES, PII_TOKEN
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_RES.items()
+    )
+    red = "text"
+    for pat in PII_RES.values():
+        red = f"regexp_replace({red}, '{pat}', '{PII_TOKEN}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               {red} AS redacted
+          FROM documents
+    """
+
+
+def _decontaminate_sql() -> str:
+    from rios_ray.pipelines.text import DECON_EVERY, DECON_TOKENS
+
+    return f"""
+        WITH bench AS (
+            SELECT array_to_string(
+                       list_slice(string_split(text, ' '), 1, {DECON_TOKENS}),
+                       ' ') AS gram
+              FROM documents WHERE doc_id % {DECON_EVERY} = 0
+        )
+        SELECT d.doc_id, count(*) AS n_hits
+          FROM documents d JOIN bench b ON contains(d.text, b.gram)
+         WHERE d.doc_id % {DECON_EVERY} <> 0
+         GROUP BY d.doc_id
+    """
 
 
 _GRAMS_CTE = r"""

@@ -91,3 +91,71 @@ def top_token_pages(sf_dir: str, k: int = 100):
     return local.repartition(1).map_batches(
         final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def pii(sf_dir: str) -> ray.data.Dataset:
+    """doc_id + per-pattern PII match counts + redacted text.
+
+    One stateless vectorized stage (pyarrow RE2 count + global replace);
+    patterns and replace order defined in ``analysis.PII_RES``.
+    """
+    return _one_stage(sf_dir, A.pii_scan, ["doc_id", "text"]).select_columns(
+        ["doc_id", "n_email", "n_phone", "n_ipv4", "redacted"]
+    )
+
+
+DECON_TOKENS = 3  # leading-token n-gram used as the benchmark probe
+DECON_EVERY = 100  # every doc_id % DECON_EVERY == 0 doc seeds the bench set
+
+
+def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EVERY):
+    """Benchmark decontamination: flag corpus documents containing any
+    benchmark probe string.
+
+    The "benchmark" set is derived deterministically (every
+    ``every``-th doc's first ``tokens`` whitespace tokens); real use
+    substitutes published eval-set n-grams.  Scale shape: the probe set
+    is small by construction (eval suites ≪ corpus), so it is collected
+    driver-side once, shipped via ``ray.put`` and scanned per batch
+    with vectorized substring kernels — a broadcast semi-join, no
+    shuffle.  K probe passes per batch is O(K) RE2-free memmem scans;
+    for K beyond ~10^4 the scale path is an Aho-Corasick automaton
+    built once per actor in ``__init__``.
+
+    Returns contaminated (doc_id, n_hits) rows, doc_id ascending not
+    guaranteed (order-insensitive result).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def keep_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % every == 0))
+
+    bench = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        keep_bench, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    grams = [" ".join(t.split(" ")[:tokens]) for t in bench["text"]]
+    grams_ref = ray.put(grams)
+
+    def flag(b: pa.Table) -> pa.Table:
+        probes = ray.get(grams_ref)  # zero-copy local fetch after first batch
+        b = b.filter(pa.array(b["doc_id"].to_numpy() % every != 0))
+        hits = np.zeros(b.num_rows, dtype=np.int64)
+        for g in probes:
+            hits += pc.match_substring(b["text"], g).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        mask = hits > 0
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(mask)),
+                "n_hits": pa.array(hits[mask]),
+            }
+        )
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )

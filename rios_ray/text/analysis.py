@@ -155,3 +155,31 @@ def winnow_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "fingerprint", pa.array([fp.tolist() for fp in fps], type=pa.list_(pa.uint64()))
     ).append_column("fp_size", pa.array([len(fp) for fp in fps], type=pa.int64()))
+
+
+# --- PII scan / redaction -------------------------------------------------
+
+# RE2-compatible patterns (pyarrow and DuckDB both run RE2, so the
+# oracle SQL evaluates byte-identical semantics — no lookarounds).
+PII_RES: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+PII_TOKEN = "[PII]"
+
+
+def pii_scan(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append per-pattern match counts + a globally redacted text column.
+
+    Redaction applies the patterns in ``PII_RES`` insertion order, each
+    as a global leftmost-non-overlapping replace (RE2 semantics, same
+    as DuckDB ``regexp_replace(..., 'g')`` nested in the same order).
+    """
+    t = batch[text_col]
+    for name, pat in PII_RES.items():
+        batch = batch.append_column(f"n_{name}", pa.array(_count_re(t, pat)))
+    red = t
+    for pat in PII_RES.values():
+        red = pc.replace_substring_regex(red, pat, PII_TOKEN)
+    return batch.append_column("redacted", red)

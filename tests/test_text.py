@@ -122,3 +122,61 @@ def test_top_token_pages_vs_duckdb(ray_session, con):
         QUALIFY rank <= 50 ORDER BY rank""").df()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_pii_scan_synthetic():
+    """Crafted PII strings: counts and redaction are exact."""
+    import pyarrow as pa
+
+    texts = [
+        "contact me at alice.smith+spam@example.co.uk today",
+        "call +1 (555) 123-4567 or 555 867 5309 now",
+        "server at 192.168.0.1 and 10.0.0.255 responded",
+        "no pii here at all",
+        "mixed: bob@x.io from 127.0.0.1 phone 020 7946 0958",
+    ]
+    b = pa.table({"doc_id": pa.array(range(5)), "text": pa.array(texts)})
+    out = A.pii_scan(b)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0, 1]
+    assert out["n_ipv4"].to_pylist() == [0, 0, 2, 0, 1]
+    assert out["n_phone"].to_pylist()[1] >= 1 and out["n_phone"].to_pylist()[4] >= 1
+    red = out["redacted"].to_pylist()
+    assert red[0] == "contact me at [PII] today"
+    assert "192.168.0.1" not in red[2] and "[PII]" in red[2]
+    assert red[3] == "no pii here at all"
+    assert "bob@x.io" not in red[4] and "127.0.0.1" not in red[4]
+
+
+def test_pii_vs_duckdb(ray_session, con):
+    """Engine-vs-engine parity on the real documents table (both RE2)."""
+    import pyarrow as pa
+    import ray
+
+    from __ray_entry__ import _pii_sql
+
+    got = pa.concat_tables(
+        [t for t in ray.get(T.pii(SF).to_arrow_refs()) if t.num_rows]
+    )
+    want = con.execute(_pii_sql().replace("documents", "docs")).arrow()
+    _cmp(got, want, ["n_email", "n_phone", "n_ipv4", "redacted"])
+
+
+def test_decontaminate_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import DECON_EVERY, DECON_TOKENS, decontaminate
+
+    got = decontaminate(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.execute(f"""
+        WITH bench AS (
+            SELECT array_to_string(
+                       list_slice(string_split(text, ' '), 1, {DECON_TOKENS}),
+                       ' ') AS gram
+              FROM docs WHERE doc_id % {DECON_EVERY} = 0
+        )
+        SELECT d.doc_id, count(*) AS n_hits
+          FROM docs d JOIN bench b ON contains(d.text, b.gram)
+         WHERE d.doc_id % {DECON_EVERY} <> 0
+         GROUP BY d.doc_id ORDER BY d.doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_hits"].tolist() == want["n_hits"].tolist()
+    assert len(got) > 0, "fixture should contain at least one contaminated doc"
