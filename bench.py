@@ -71,8 +71,11 @@ def run_bench() -> dict:
     # projects to a long-running 100 TB job.
     flagship(sf_dir).count()
 
+    # best-of-2 by default: the first execution of each distinct query
+    # shape pays one-off worker page-fault/kernel-warm costs on this VM
+    # (multi-second); the second run measures steady state.
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
 
     def timed(name: str, fn):
         best = None

@@ -23,7 +23,7 @@ from ..stages.cellassign import (
     assign_cells,
 )
 from ..stages.geocode import extract_text, geocode
-from ..stages.knn import KnnPartialStage, knn_final_merge, knn_partial_fn
+from ..stages.knn import KnnPartialStage, knn_final_merge_all, knn_partial_fn
 from ..stages.pip import PIPJoinStage, pip_join_fn
 
 GEO_COLS = ["url", "warc_ts", "lang", "extracted_text", "lat", "lon"]
@@ -114,7 +114,9 @@ def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
-    return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")
+    return partial.repartition(1).map_batches(
+        knn_final_merge_all(k), batch_format="pandas", batch_size=None
+    )
 
 
 def knn_pages_cellring(sf_dir: str, k: int = 10,
@@ -137,7 +139,7 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
     import numpy as np
 
     from ..functions.agg import grouped_count
-    from ..stages.knn import KnnPartialStage, knn_final_merge, ring_candidate_cells
+    from ..stages.knn import KnnPartialStage, knn_final_merge_all, ring_candidate_cells
 
     qpath = synth.ensure_knn_queries()
     qt = pq.read_table(qpath)
@@ -201,4 +203,6 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
     partial = geocoded_pages(sf_dir, keep_text=False).map_batches(
         refine, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
-    return partial.groupby("qid").map_groups(knn_final_merge(k), batch_format="pandas")
+    return partial.repartition(1).map_batches(
+        knn_final_merge_all(k), batch_format="pandas", batch_size=None
+    )

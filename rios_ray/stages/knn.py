@@ -75,6 +75,26 @@ def knn_final_merge(k: int):
     return merge
 
 
+def knn_final_merge_all(k: int):
+    """Single-task final reduce over ALL qids at once.
+
+    Replaces ``groupby("qid").map_groups`` — the keyed sort barrier
+    costs ~1.6 s of fixed overhead per run on a result that is only
+    ``|blocks| x |queries| x k`` rows.  Gathering those partials to one
+    task (``repartition(1)``) and doing a vectorized lexsort +
+    per-group head-k is strictly cheaper until |queries| x k stops
+    fitting in one block — at which point the groupby path (same
+    semantics) is the fallback."""
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["qid", "d2", "url"], kind="mergesort")
+        b = b.groupby("qid", sort=False).head(k).reset_index(drop=True)
+        b["rank"] = (b.groupby("qid", sort=False).cumcount() + 1).astype(np.int64)
+        return b
+
+    return merge
+
+
 _KNN_CACHE: dict = {}
 
 
