@@ -435,6 +435,27 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
     return assemble
 
 
+def _reproject_input(ti, wg, out_dir):
+    """Materialize a cross-CRS input onto the working grid (warped
+    nearest via the registered axis-separable transforms) — the
+    reference's gdalwarp-VRT-per-input path (``imagereader.py:280-333``)
+    for projections, one warp per input per run."""
+    import tempfile
+
+    import ray.data
+
+    from .reproject import reproject_nearest
+    from .sources.tileraster import TileRasterInfo
+
+    tmp = tempfile.mkdtemp(prefix="reproject_", dir=out_dir or "/tmp")
+    ds = ray.data.read_parquet(ti.path)
+    reproject_nearest(ds, ti.grid, wg).write_parquet(tmp)
+    return TileRasterInfo(
+        path=tmp, grid=wg, nbands=ti.nbands, dtype="float64",
+        nullval=ti.nullval, thematic=ti.thematic, layer_names=ti.layer_names,
+    )
+
+
 def _resample_input(ti, wg, out_dir):
     """Materialize a misaligned input onto the working grid (nearest)
     into a temp tile table; the applier then treats it as a normal
@@ -586,29 +607,50 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
 
     # ---- plan (driver) ----
     vector_names = [n for n, ti in inputs.items() if isinstance(ti, VectorInput)]
-    grids = [ti.grid for n, ti in inputs.items() if n not in vector_names]
-    if not grids:
+    all_grids = [ti.grid for n, ti in inputs.items() if n not in vector_names]
+    if not all_grids:
         raise ValueError("at least one raster input is required")
     if controls.ref_pixgrid is not None:
         ref = controls.ref_pixgrid
     elif controls.reference is not None:
         ref = inputs[controls.reference].grid
     else:
-        ref = grids[0]
-        for g in grids[1:]:
-            if not ref.aligned_with(g):
+        ref = all_grids[0]
+        for g in all_grids[1:]:
+            if g.projection == ref.projection and not ref.aligned_with(g):
                 raise ResampleNeededError(
                     "input grids not aligned and no reference set"
                 )
-    wg = find_common_region(grids, ref, controls.footprint)
+    # cross-CRS inputs are warped onto the working grid below and do
+    # not participate in footprint folding (reference semantics: a
+    # reprojected run needs a reference grid, imagereader.py:280-333)
+    grids = [g for g in all_grids if g.projection == ref.projection]
+    if grids:
+        wg = find_common_region(grids, ref, controls.footprint)
+    elif controls.ref_pixgrid is not None:
+        # every input is cross-CRS: the explicit reference grid IS the
+        # working grid (BOUNDS_FROM_REFERENCE semantics)
+        wg = ref
+    else:
+        raise ResampleNeededError(
+            "no input shares the reference projection; set a reference pixgrid"
+        )
     B_y, B_x = controls.window_ysize, controls.window_xsize
     # rasterize vector inputs onto the working grid (reference S6)
     for name in vector_names:
         inputs[name] = _rasterize_vector(inputs[name], wg, B_y, B_x, out_dir)
-    # on-the-fly resample of misaligned inputs (reference warp-VRT path)
+    # on-the-fly resample / reproject of misaligned inputs (reference
+    # warp-VRT path)
     for name in list(inputs):
         ti = inputs[name]
-        if not wg.aligned_with(ti.grid):
+        if ti.grid.projection != wg.projection:
+            if controls.resample_method != "near":
+                raise ResampleNeededError(
+                    f"input {name!r} is in {ti.grid.projection}, working grid "
+                    f"is {wg.projection}; call controls.setResampleMethod('near')"
+                )
+            inputs[name] = _reproject_input(ti, wg, out_dir)
+        elif not wg.aligned_with(ti.grid):
             if controls.resample_method != "near":
                 raise ResampleNeededError(
                     f"input {name!r} not aligned with working grid; "

@@ -53,9 +53,25 @@ def _out_index_range(lo_val: float, hi_val: float, origin: float, res: float,
     return np.arange(lo, hi, dtype=np.int64)
 
 
-def make_resample_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256):
-    """Per-batch kernel: input tile rows -> output-tile-keyed patches."""
+def make_resample_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
+                     x_fwd=None, y_fwd=None, x_inv=None, y_inv=None):
+    """Per-batch kernel: input tile rows -> output-tile-keyed patches.
+
+    ``x_fwd``/``y_fwd`` map OUTPUT-grid world coords into the input
+    grid's CRS (``x_inv``/``y_inv`` the reverse); monotonic-increasing
+    and axis-separable (see reproject.py).  Identity (None) keeps the
+    same-CRS path bit-exact — no transform is applied at all.
+    """
     out_nrows, out_ncols = out_grid.dimensions()
+    if (x_fwd is None) != (x_inv is None) or (y_fwd is None) != (y_inv is None):
+        # derive the missing direction only for the identity case;
+        # callers with real transforms must pass both
+        if x_fwd is not None or y_fwd is not None:
+            from .reproject import get_transform
+
+            xi, yi = get_transform(in_grid.projection, out_grid.projection)
+            x_inv = x_inv if x_inv is not None else xi
+            y_inv = y_inv if y_inv is not None else yi
 
     def fn(b: pa.Table) -> pa.Table:
         col = b["data"]
@@ -74,21 +90,36 @@ def make_resample_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256):
             nr, nc = int(nrs[i]), int(ncs[i])
             tile = flat[offsets[i]: offsets[i + 1]].reshape(nr, nc)
 
-            # world bounds of the source tile
+            # world bounds of the source tile (input CRS)
             y_hi = in_grid.y_max - top * in_grid.y_res
             y_lo = in_grid.y_max - (top + nr) * in_grid.y_res
             x_lo = in_grid.x_min + left * in_grid.x_res
             x_hi = in_grid.x_min + (left + nc) * in_grid.x_res
 
-            rr = _out_index_range(y_lo, y_hi, out_grid.y_max, out_grid.y_res,
+            # ...mapped to output-CRS bounds (monotonic => bounds map
+            # to bounds; identity when same CRS)
+            if y_inv is not None:
+                y_lo_o, y_hi_o = float(y_inv(y_lo)), float(y_inv(y_hi))
+            else:
+                y_lo_o, y_hi_o = y_lo, y_hi
+            if x_inv is not None:
+                x_lo_o, x_hi_o = float(x_inv(x_lo)), float(x_inv(x_hi))
+            else:
+                x_lo_o, x_hi_o = x_lo, x_hi
+
+            rr = _out_index_range(y_lo_o, y_hi_o, out_grid.y_max, out_grid.y_res,
                                   out_nrows, descending=True)
-            cc = _out_index_range(x_lo, x_hi, out_grid.x_min, out_grid.x_res,
+            cc = _out_index_range(x_lo_o, x_hi_o, out_grid.x_min, out_grid.x_res,
                                   out_ncols, descending=False)
             if not len(rr) or not len(cc):
                 continue
             # exact containing-cell source indices for candidate centers
             y_out = out_grid.y_max - (rr + 0.5) * out_grid.y_res
             x_out = out_grid.x_min + (cc + 0.5) * out_grid.x_res
+            if y_fwd is not None:
+                y_out = np.asarray(y_fwd(y_out), dtype=np.float64)
+            if x_fwd is not None:
+                x_out = np.asarray(x_fwd(x_out), dtype=np.float64)
             src_r = np.floor((in_grid.y_max - y_out) / in_grid.y_res).astype(np.int64)
             src_c = np.floor((x_out - in_grid.x_min) / in_grid.x_res).astype(np.int64)
             rm = (src_r >= top) & (src_r < top + nr)
