@@ -749,83 +749,177 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
 
     out_infos = {}
     for name, path in outfiles.items():
-        part = os.path.join(scratch, f"name={name}")
-        t = pq.read_table(part)
-        dtype = t["dtype"][0].as_py()
-        nbands = int(pa.compute.max(t["band"]).as_py()) + 1
-        # convert binary payloads -> list<T> tile table (canonical format)
-        pa_dtype = pa.from_numpy_dtype(np.dtype(dtype))
-        flat = np.frombuffer(b"".join(p.as_py() for p in t["payload"]), dtype=np.dtype(dtype))
+        if controls.before_close_hooks:
+            # hooks receive the open in-memory handle (reference
+            # callBeforeClose semantics) — inherently driver-side
+            out_infos[name] = _finalize_driver(name, path, scratch, wg, controls)
+        else:
+            out_infos[name] = _finalize_distributed(name, path, scratch, wg, controls)
+
+    return ApplierReturn(wg, other_args_list, out_infos, nbx * nby)
+
+
+def _out_options(name: str, controls: ApplierControls):
+    nullval = controls.option_overrides.get(
+        ("stats_ignore", name), controls.stats_ignore.get(name)
+    )
+    thematic = controls.option_overrides.get(
+        ("thematic", name), controls.thematic.get(name, False)
+    )
+    return nullval, thematic
+
+
+def _stats_dict(merged_accs: dict) -> dict:
+    stats = {}
+    for b, acc in sorted(merged_accs.items()):
+        mn, mx, mean, std = acc.final_stats()
+        stats[str(b)] = {
+            "min": None if mn is None else float(mn),
+            "max": None if mx is None else float(mx),
+            "mean": mean,
+            "stddev": std,
+            "count": acc.count,
+        }
+    return stats
+
+
+def make_canonical_fn(dtype):
+    """map_batches kernel: scratch rows (binary payload) -> canonical
+    tile rows (``data: list<T>``), vectorized per batch."""
+    np_dtype = np.dtype(dtype)
+    pa_dtype = pa.from_numpy_dtype(np_dtype)
+
+    def canonical(b: pa.Table) -> pa.Table:
+        payloads = b["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        flat = np.frombuffer(b"".join(payloads.to_pylist()), dtype=np_dtype)
         lengths = (
-            t["nrows"].to_numpy(zero_copy_only=False).astype(np.int64)
-            * t["ncols"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b["nrows"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * b["ncols"].to_numpy(zero_copy_only=False).astype(np.int64)
         )
         offs = np.concatenate([[0], np.cumsum(lengths)])
-        data = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), pa.array(flat, type=pa_dtype))
-        tile_table = pa.table(
+        data = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), pa.array(flat, type=pa_dtype)
+        )
+        return pa.table(
             {
-                "tile_y": t["tile_y"],
-                "tile_x": t["tile_x"],
-                "top": t["top"],
-                "left": t["left"],
-                "nrows": t["nrows"],
-                "ncols": t["ncols"],
-                "band": t["band"],
+                "tile_y": b["tile_y"],
+                "tile_x": b["tile_x"],
+                "top": b["top"],
+                "left": b["left"],
+                "nrows": b["nrows"],
+                "ncols": b["ncols"],
+                "band": b["band"],
                 "data": data,
             }
         )
-        stats = None
-        if controls.getOptionForImagename("calc_stats", name):
-            from .stats import StatsAccumulator
 
-            nullval = controls.option_overrides.get(
-                ("stats_ignore", name), controls.stats_ignore.get(name)
-            )
-            thematic = controls.option_overrides.get(
-                ("thematic", name), controls.thematic.get(name, False)
-            )
-            acc_by_band: dict[int, StatsAccumulator] = {}
-            bands_np = t["band"].to_numpy(zero_copy_only=False)
-            for i in range(t.num_rows):
-                arr = np.frombuffer(t["payload"][i].as_py(), dtype=np.dtype(dtype))
-                acc = acc_by_band.setdefault(
-                    int(bands_np[i]), StatsAccumulator(nullval, thematic, np.dtype(dtype))
-                )
-                acc.accum_stats(arr)
-                if np.dtype(dtype).kind in "iu":
-                    acc.accum_hist(arr)
-            stats = {}
-            for b, acc in sorted(acc_by_band.items()):
-                mn, mx, mean, std = acc.final_stats()
-                stats[str(b)] = {
-                    "min": None if mn is None else float(mn),
-                    "max": None if mx is None else float(mx),
-                    "mean": mean,
-                    "stddev": std,
-                    "count": acc.count,
-                }
-        # pre-close hooks: user sees (and may mutate) the assembled tile
-        # table + stats before anything is written (reference
-        # callBeforeClose, applier.py:845-858)
-        if controls.before_close_hooks:
-            handle = {"name": name, "table": tile_table, "stats": stats, "path": path}
-            for func, hook_args in controls.before_close_hooks:
-                func(handle, *hook_args)
-            tile_table, stats = handle["table"], handle["stats"]
+    return canonical
 
-        out_infos[name] = write_tile_raster(
-            path,
-            tile_table,
-            wg,
-            nbands,
-            dtype,
-            nullval=controls.option_overrides.get(
-                ("stats_ignore", name), controls.stats_ignore.get(name)
-            ),
-            thematic=controls.option_overrides.get(
-                ("thematic", name), controls.thematic.get(name, False)
-            ),
-            stats=stats,
+
+def _delete_if_existing(path: str):
+    """S10 ``deleteIfExisting`` semantics for both layouts."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    for sidecar in (path + ".grid.json",):
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
+
+
+def _finalize_distributed(name: str, path: str, scratch: str, wg: PixelGrid,
+                          controls: ApplierControls):
+    """Per-output finalize that never holds the raster on the driver.
+
+    payload->canonical conversion streams through ``map_batches``;
+    tiles land as a parquet DIRECTORY (many files — resumable output,
+    never one giant file); the optional stats pass re-reads the
+    written tiles as streaming partial accumulators, the reference's
+    whole-file recompute-at-close semantics (``calcstats.py``, S9/A7).
+    Driver memory holds only per-block metadata columns and one partial
+    row per (batch, band).
+    """
+    import ray.data
+
+    from .sources.tileraster import write_manifest
+
+    part = os.path.join(scratch, f"name={name}")
+    meta = pq.read_table(part, columns=["band", "dtype"])  # metadata-sized
+    dtype = meta["dtype"][0].as_py()
+    nbands = int(pa.compute.max(meta["band"]).as_py()) + 1
+    np_dtype = np.dtype(dtype)
+    nullval, thematic = _out_options(name, controls)
+
+    _delete_if_existing(path)
+    ds = ray.data.read_parquet(part).map_batches(
+        make_canonical_fn(dtype), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds.write_parquet(path)
+
+    stats = None
+    if controls.getOptionForImagename("calc_stats", name):
+        from .stats import make_partials_fn, merge_partials
+
+        pdf = (
+            ray.data.read_parquet(path)
+            .map_batches(
+                make_partials_fn(np_dtype, nullval, thematic,
+                                 include_hist=np_dtype.kind in "iu"),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
         )
+        stats = _stats_dict(merge_partials(pdf, nullval, thematic, np_dtype))
 
-    return ApplierReturn(wg, other_args_list, out_infos, nbx * nby)
+    return write_manifest(
+        path, wg, nbands, dtype, nullval=nullval, thematic=thematic, stats=stats
+    )
+
+
+def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
+                     controls: ApplierControls):
+    """Driver-side finalize (only when ``callBeforeClose`` hooks need
+    the open in-memory handle): whole output assembled on the driver,
+    hooks run, single-file write."""
+    part = os.path.join(scratch, f"name={name}")
+    t = pq.read_table(part)
+    dtype = t["dtype"][0].as_py()
+    nbands = int(pa.compute.max(t["band"]).as_py()) + 1
+    tile_table = make_canonical_fn(dtype)(t)
+    nullval, thematic = _out_options(name, controls)
+
+    stats = None
+    if controls.getOptionForImagename("calc_stats", name):
+        from .stats import StatsAccumulator
+
+        np_dtype = np.dtype(dtype)
+        acc_by_band: dict[int, StatsAccumulator] = {}
+        bands_np = t["band"].to_numpy(zero_copy_only=False)
+        for i in range(t.num_rows):
+            arr = np.frombuffer(t["payload"][i].as_py(), dtype=np_dtype)
+            acc = acc_by_band.setdefault(
+                int(bands_np[i]), StatsAccumulator(nullval, thematic, np_dtype)
+            )
+            acc.accum_stats(arr)
+            if np_dtype.kind in "iu":
+                acc.accum_hist(arr)
+        stats = _stats_dict(acc_by_band)
+
+    # pre-close hooks: user sees (and may mutate) the assembled tile
+    # table + stats before anything is written (reference
+    # callBeforeClose, applier.py:845-858)
+    handle = {"name": name, "table": tile_table, "stats": stats, "path": path}
+    for func, hook_args in controls.before_close_hooks:
+        func(handle, *hook_args)
+    tile_table, stats = handle["table"], handle["stats"]
+
+    _delete_if_existing(path)
+    return write_tile_raster(
+        path, tile_table, wg, nbands, dtype,
+        nullval=nullval, thematic=thematic, stats=stats,
+    )

@@ -62,9 +62,8 @@ def _manifest_path(path: str) -> str:
     return path + ".grid.json" if not os.path.isdir(path) else os.path.join(path, "_grid.json")
 
 
-def write_tile_raster(
+def write_manifest(
     path: str,
-    table: pa.Table,
     grid: PixelGrid,
     nbands: int,
     dtype,
@@ -73,11 +72,9 @@ def write_tile_raster(
     layer_names: list[str] | None = None,
     stats: dict | None = None,
 ) -> TileRasterInfo:
-    """Write tile rows + manifest (the ``openOutfile``/``closeOutfiles``
-    analogue — reference ``imagewriter.py:69-120, 123-193``; stats land
-    in the sidecar like GDAL metadata items)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(table, path)
+    """Write only the grid manifest sidecar (for tile data written
+    separately, e.g. a distributed ``Dataset.write_parquet`` into a
+    directory — the resumable, many-file output layout)."""
     manifest = {
         "grid": {
             "x_min": grid.x_min, "x_max": grid.x_max,
@@ -96,6 +93,27 @@ def write_tile_raster(
     with open(_manifest_path(path), "w") as f:
         json.dump(manifest, f)
     return TileRasterInfo(path, grid, nbands, str(np.dtype(dtype)), nullval, thematic, layer_names)
+
+
+def write_tile_raster(
+    path: str,
+    table: pa.Table,
+    grid: PixelGrid,
+    nbands: int,
+    dtype,
+    nullval: float | None = None,
+    thematic: bool = False,
+    layer_names: list[str] | None = None,
+    stats: dict | None = None,
+) -> TileRasterInfo:
+    """Write tile rows + manifest (the ``openOutfile``/``closeOutfiles``
+    analogue — reference ``imagewriter.py:69-120, 123-193``; stats land
+    in the sidecar like GDAL metadata items)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+    return write_manifest(
+        path, grid, nbands, dtype, nullval, thematic, layer_names, stats
+    )
 
 
 def read_stats_sidecar(path: str) -> dict | None:

@@ -470,3 +470,23 @@ def test_call_before_close_hook(fixtures, tmp_path):
           controls=controls, out_dir=str(tmp_path))
     assert seen == [("out", "t1")]
     assert read_stats_sidecar(out) is None
+
+
+def test_directory_output_chains_as_input(fixtures, tmp_path):
+    """Distributed finalize writes a parquet DIRECTORY (resumable
+    layout); it must probe and read back as an input to a second
+    apply() unchanged."""
+    import os
+
+    def ident(info, inputs, outputs):
+        outputs.out = inputs.img
+
+    out1 = str(tmp_path / "o1.parquet")
+    apply(ident, {"img": fixtures["ramp"]}, {"out": out1}, out_dir=str(tmp_path))
+    assert os.path.isdir(out1)  # many-file resumable layout
+    out2 = str(tmp_path / "o2.parquet")
+    apply(ident, {"img": out1}, {"out": out2}, out_dir=str(tmp_path))
+    got = _read_back(out2)[0]
+    np.testing.assert_array_equal(
+        got.astype(np.uint8), fixtures["ramp_arr"]
+    )
