@@ -150,3 +150,32 @@ def grouped_sum(ds, keys: list[str], value_col: str, alias: str, num_partitions:
     return hash_grouped_aggregate(
         ds, keys, [(value_col, "sum", alias)], num_partitions, final_mode
     )
+
+
+def distributed_topk(ds, k: int, sort_cols: list[str], ascending: list[bool],
+                     batch_size: int = 65536):
+    """Global top-k under a lexicographic order, without a global sort.
+
+    Per-batch local top-k using the SAME total order as the final merge
+    (a value-only cut could discard the tie-winner at the k-th
+    boundary), then one tiny single-task merge over at most
+    ``k * n_blocks`` surviving rows — the order-statistics analogue of
+    pre-aggregate-before-shuffle.  Total order must be deterministic
+    (include a unique tie-break column).
+    """
+    import pandas as pd  # noqa: F401  (batch_format="pandas")
+
+    def local(b):
+        return b.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+
+    def final(b):
+        return (
+            b.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    local_ds = ds.map_batches(local, batch_format="pandas", batch_size=batch_size)
+    return local_ds.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

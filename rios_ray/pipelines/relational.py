@@ -147,12 +147,14 @@ def q3_top_orders(
         ["l_orderkey"],
         [("rev_cents", "sum", "revenue_cents")],
     )
-    # final top-k: tiny result, deterministic tie-break on orderkey
-    df = per_order.to_pandas()
-    df = df.sort_values(
-        ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="mergesort"
-    ).head(k)
-    return df.reset_index(drop=True)
+    # distributed top-k: per-batch local cut + one tiny merge (no
+    # driver-side materialization of the per-order aggregate, which is
+    # one row per order at scale)
+    from ..functions.agg import distributed_topk
+
+    return distributed_topk(
+        per_order, k, ["revenue_cents", "l_orderkey"], [False, True]
+    )
 
 
 def q14_type_revenue(sf_dir: str) -> ray.data.Dataset:

@@ -38,7 +38,7 @@ def test_q1(ray_session, con):
 
 
 def test_q3(ray_session, con):
-    got = R.q3_top_orders(SF, segment="BUILDING", k=10)
+    got = R.q3_top_orders(SF, segment="BUILDING", k=10).to_pandas()
     want = con.execute("""
         SELECT l_orderkey,
                sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
