@@ -195,6 +195,12 @@ def _q_text_topk(sf_dir: str):
     return top_token_pages(sf_dir, k=100)
 
 
+def _q_host_counts(sf_dir: str):
+    from rios_ray.pipelines.pages import host_counts
+
+    return host_counts(sf_dir)
+
+
 def _q_text_pii(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -384,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_cells": _q_geocode_cells,
         "cell_counts": _q_cell_counts,
         "lang_counts": _q_lang_counts,
+        "host_counts": _q_host_counts,
         "pip_join_pairs": _q_pip_join_pairs,
         "pip_join_counts": _q_pip_join_counts,
         "flagship_cell_category": _q_flagship,
@@ -724,6 +731,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n
               FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
              GROUP BY lang
+        """,
+        "host_counts": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+              FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+             GROUP BY 1
         """,
         "pip_join_pairs": f"""
             SELECT url, poly_id FROM ({_pip_pairs_sql()})

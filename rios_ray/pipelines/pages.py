@@ -9,6 +9,7 @@ only materialized results are aggregates.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -205,4 +206,38 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
     )
     return partial.repartition(1).map_batches(
         knn_final_merge_all(k), batch_format="pandas", batch_size=None
+    )
+
+
+HOST_RE = r"^[a-z]+://(?P<host>[^/]+)"
+
+
+def host_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain stats: page count + total text bytes per URL host.
+
+    The standard crawl-pipeline rollup (politeness budgeting, domain
+    mix reports).  One vectorized RE2 extract per batch feeding the
+    combiner-first grouped aggregate — host cardinality is bounded by
+    the crawl's domain list, far below row count, so the exchange
+    moves only partial rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+
+    def host_stats(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        return pa.table(
+            {
+                "host": host,
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    ds = read_pages(sf_dir, columns=["url", "text"]).map_batches(
+        host_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash_grouped_aggregate(
+        ds, ["host"],
+        [(None, "count", "n_pages"), ("n_chars", "sum", "sum_chars")],
     )
