@@ -94,8 +94,14 @@ def run_bench() -> dict:
         ds = geocoded_pages(sf_dir, keep_text=False).select_columns(["cell", "url"])
         return capped_per_key(ds, "cell", 5, "url").count()
 
+    def hosts():
+        from rios_ray.pipelines.pages import host_counts
+
+        return host_counts(sf_dir).count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
+        "host_counts": hosts,
         "spatial_join": lambda: spatial_join(sf_dir).count(),
         "flagship": lambda: flagship(sf_dir).to_pandas(),
         "knn_pages": lambda: knn_pages(sf_dir, k=10).count(),

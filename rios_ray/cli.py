@@ -153,12 +153,21 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--fresh", action="store_true",
                    help="discard existing output + lineage first")
+    sub.add_parser("selftest", help="run the engine test suite "
+                                    "(the reference's testrios analogue)")
     args = ap.parse_args(argv)
     if args.cmd == "calcstats":
         return cmd_calcstats(args.paths, include_hist=not args.no_hist,
                              approx=args.approx)
     if args.cmd == "run":
         return cmd_run(args.sf_dir, args.out, fresh=args.fresh)
+    if args.cmd == "selftest":
+        import os
+
+        import pytest
+
+        tests = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tests")
+        return pytest.main(["-x", "-q", tests])
     return cmd_printstats(args.paths)
 
 
