@@ -201,6 +201,12 @@ def _q_host_counts(sf_dir: str):
     return host_counts(sf_dir)
 
 
+def _q_vocab_topk(sf_dir: str):
+    from rios_ray.pipelines.text import vocab_topk
+
+    return vocab_topk(sf_dir, k=100)
+
+
 def _q_text_pii(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -405,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
         "text_topk_tokens": _q_text_topk,
         "text_pii": _q_text_pii,
+        "vocab_topk": _q_vocab_topk,
         "decontaminate": _q_decontaminate,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -483,6 +490,16 @@ def _text_oracle_sql() -> dict[str, str]:
               FROM documents
         """,
         "text_pii": _pii_sql(),
+        "vocab_topk": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents
+            )
+            SELECT token, count(*) AS df FROM tok
+             GROUP BY token
+             ORDER BY df DESC, token
+             LIMIT 100
+        """,
         "decontaminate": _decontaminate_sql(),
     }
 

@@ -159,3 +159,49 @@ def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EV
     return ds.map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
+
+
+def vocab_topk(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Corpus vocabulary by document frequency: top-k tokens by the
+    number of distinct documents containing them.
+
+    The scale shape for a corpus-wide term statistic: per-batch
+    DISTINCT (doc, token) -> local token->df partial (one row per
+    distinct token per batch enters the exchange, not one per token
+    occurrence), the combiner-first grouped sum, then the shared
+    distributed top-k — no global sort, no driver materialization of
+    the vocabulary.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.agg import distributed_topk, hash_grouped_aggregate
+
+    def local_df(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tok = df["text"].str.split(" ")
+        exploded = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].repeat(tok.str.len()),
+                "token": np.concatenate(tok.to_numpy()),
+            }
+        )
+        counts = (
+            exploded.drop_duplicates(["doc_id", "token"])["token"]
+            .value_counts()
+            .rename_axis("token")
+            .reset_index(name="df_part")
+        )
+        return pa.table(
+            {
+                "token": pa.array(counts["token"], type=pa.string()),
+                "df_part": pa.array(counts["df_part"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        local_df, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    per_token = hash_grouped_aggregate(ds, ["token"], [("df_part", "sum", "df")])
+    return distributed_topk(per_token, k, ["df", "token"], [False, True])

@@ -180,3 +180,19 @@ def test_decontaminate_vs_duckdb(ray_session, con):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_hits"].tolist() == want["n_hits"].tolist()
     assert len(got) > 0, "fixture should contain at least one contaminated doc"
+
+
+def test_vocab_topk_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import vocab_topk
+
+    got = vocab_topk(SF, k=50).to_pandas()
+    want = con.execute("""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM docs
+        )
+        SELECT token, count(*) AS df FROM tok
+         GROUP BY token ORDER BY df DESC, token LIMIT 50
+    """).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
