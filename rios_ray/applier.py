@@ -239,6 +239,10 @@ OUT_SCHEMA = pa.schema(
         ("ncols", pa.int32()),
         ("band", pa.int32()),
         ("dtype", pa.string()),
+        # M5: per-block NaN/Inf presence for float outputs, checked
+        # where the block is already dense (reference imagewriter.py
+        # checkForNanOrInf at write, warned once per file at close)
+        ("nonfinite", pa.bool_()),
         ("payload", pa.binary()),
     ]
 )
@@ -412,6 +416,9 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
                         "ncols": xs,
                         "band": b,
                         "dtype": str(arr.dtype),
+                        "nonfinite": bool(
+                            arr.dtype.kind in "fc" and not np.isfinite(arr[b]).all()
+                        ),
                         "payload": np.ascontiguousarray(arr[b]).tobytes(),
                     }
                 )
@@ -427,6 +434,7 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
                     "ncols": xs,
                     "band": -1,
                     "dtype": "object",
+                    "nonfinite": False,
                     "payload": pickle.dumps(oa),
                 }
             )
@@ -848,11 +856,12 @@ def _finalize_distributed(name: str, path: str, scratch: str, wg: PixelGrid,
     from .sources.tileraster import write_manifest
 
     part = os.path.join(scratch, f"name={name}")
-    meta = pq.read_table(part, columns=["band", "dtype"])  # metadata-sized
+    meta = pq.read_table(part, columns=["band", "dtype", "nonfinite"])  # metadata-sized
     dtype = meta["dtype"][0].as_py()
     nbands = int(pa.compute.max(meta["band"]).as_py()) + 1
     np_dtype = np.dtype(dtype)
     nullval, thematic = _out_options(name, controls)
+    _warn_nonfinite(meta, path)
 
     _delete_if_existing(path)
     ds = ray.data.read_parquet(part).map_batches(
@@ -881,6 +890,17 @@ def _finalize_distributed(name: str, path: str, scratch: str, wg: PixelGrid,
     )
 
 
+def _warn_nonfinite(meta: pa.Table, path: str):
+    """Once-per-output NaN/Inf warning (reference warnNanOrInf,
+    ``imagewriter.py:331-360``)."""
+    if pa.compute.any(meta["nonfinite"]).as_py():
+        import warnings
+
+        warnings.warn(
+            f"NaN or Inf values written to output {path!r}", RuntimeWarning
+        )
+
+
 def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
                      controls: ApplierControls):
     """Driver-side finalize (only when ``callBeforeClose`` hooks need
@@ -888,6 +908,7 @@ def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
     hooks run, single-file write."""
     part = os.path.join(scratch, f"name={name}")
     t = pq.read_table(part)
+    _warn_nonfinite(t, path)
     dtype = t["dtype"][0].as_py()
     nbands = int(pa.compute.max(t["band"]).as_py()) + 1
     tile_table = make_canonical_fn(dtype)(t)

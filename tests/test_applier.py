@@ -490,3 +490,29 @@ def test_directory_output_chains_as_input(fixtures, tmp_path):
     np.testing.assert_array_equal(
         got.astype(np.uint8), fixtures["ramp_arr"]
     )
+
+
+def test_nan_inf_warning(fixtures, tmp_path):
+    """M5: float outputs containing NaN/Inf trigger one warning per
+    output (reference imagewriter checkForNanOrInf/warnNanOrInf)."""
+    import warnings as _warnings
+
+    def make_nan(info, inputs, outputs):
+        out = inputs.img.astype(np.float64)
+        out[0, 0, 0] = np.nan
+        outputs.bad = out
+        outputs.good = inputs.img.astype(np.float64)
+
+    with pytest.warns(RuntimeWarning, match="NaN or Inf.*bad"):
+        apply(make_nan, {"img": fixtures["ramp"]},
+              {"bad": str(tmp_path / "bad.parquet"),
+               "good": str(tmp_path / "good.parquet")},
+              out_dir=str(tmp_path))
+
+    def clean(info, inputs, outputs):
+        outputs.out = inputs.img.astype(np.float64)
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        apply(clean, {"img": fixtures["ramp"]},
+              {"out": str(tmp_path / "clean.parquet")}, out_dir=str(tmp_path))
