@@ -67,6 +67,12 @@ class PolygonIndex:
         self.ex2 = np.concatenate(x2l)
         self.ey2 = np.concatenate(y2l)
         self.epoly = np.concatenate(eid)  # local polygon index per edge
+        # edges are concatenated in polygon order: polygon k's edges are
+        # the contiguous slice [estart[k], estart[k+1]) — O(1) lookup
+        # instead of an O(total_edges) mask scan per candidate
+        self.estart = np.concatenate(
+            [[0], np.cumsum([len(r) - 1 for r in rings])]
+        ).astype(np.int64)
         # bucket -> local polygon index list
         self.buckets: dict[int, np.ndarray] = {}
         tmp: dict[int, list[int]] = {}
@@ -74,6 +80,17 @@ class PolygonIndex:
             for cid in cells.grid_cells_in_bbox(*self.bbox[k], index_res):
                 tmp.setdefault(int(cid), []).append(k)
         self.buckets = {c: np.array(v, dtype=np.int64) for c, v in tmp.items()}
+        # CSR view of the bucket map for the vectorized lookup:
+        # _bcells (sorted) -> _bpolys[_bstart[i]:_bstart[i+1]]
+        bc = np.sort(np.fromiter(self.buckets.keys(), dtype=np.int64,
+                                 count=len(self.buckets)))
+        self._bcells = bc
+        lens = np.array([len(self.buckets[int(c)]) for c in bc], dtype=np.int64)
+        self._bstart = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        self._bpolys = (
+            np.concatenate([self.buckets[int(c)] for c in bc])
+            if len(bc) else np.empty(0, dtype=np.int64)
+        )
 
     @classmethod
     def from_arrow(cls, polys, index_res: int = DEFAULT_INDEX_RES) -> "PolygonIndex":
@@ -83,8 +100,10 @@ class PolygonIndex:
         return cls(ids, rings, index_res)
 
     # -- exact refine ------------------------------------------------------
-    def _crossings(self, px: np.ndarray, py: np.ndarray, edge_sel: np.ndarray) -> np.ndarray:
-        """Ray-cast crossing counts: points x selected edges -> (n, n_edges) bool."""
+    def _crossings(self, px: np.ndarray, py: np.ndarray, edge_sel) -> np.ndarray:
+        """Ray-cast crossing counts: points x selected edges -> (n, n_edges) bool.
+
+        ``edge_sel`` may be an index array or a slice (zero-copy view)."""
         x1 = self.ex1[edge_sel][None, :]
         y1 = self.ey1[edge_sel][None, :]
         x2 = self.ex2[edge_sel][None, :]
@@ -105,40 +124,52 @@ class PolygonIndex:
         """
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
+        n = len(lon)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if n == 0 or not len(self._bcells):
+            return empty
         cell = cells.grid_cell_id(lon, lat, self.index_res)
-        out_rows: list[np.ndarray] = []
-        out_polys: list[np.ndarray] = []
-        order = np.argsort(cell, kind="stable")
-        cs = cell[order]
-        bounds = np.flatnonzero(np.diff(cs)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(cs)]])
-        for s, e in zip(starts, ends):
-            cand = self.buckets.get(int(cs[s]))
-            if cand is None:
-                continue
-            idx = order[s:e]
-            px, py = lon[idx], lat[idx]
-            # bbox prefilter per candidate polygon
-            bb = self.bbox[cand]
-            for ci, k in enumerate(cand):
-                m = (
-                    (px >= bb[ci, 0])
-                    & (px <= bb[ci, 1])
-                    & (py >= bb[ci, 2])
-                    & (py <= bb[ci, 3])
-                )
-                if not m.any():
-                    continue
-                esel = np.flatnonzero(self.epoly == k)
-                crossings = self._crossings(px[m], py[m], esel).sum(axis=1)
-                inside = (crossings % 2) == 1
-                if inside.any():
-                    out_rows.append(idx[m][inside])
-                    out_polys.append(np.full(inside.sum(), self.poly_ids[k], dtype=np.int64))
-        if not out_rows:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(out_rows), np.concatenate(out_polys)
+
+        # --- point -> candidate-polygon pairs (CSR gather, no loop) ---
+        pos = np.searchsorted(self._bcells, cell)
+        pos_c = np.minimum(pos, len(self._bcells) - 1)
+        hit = self._bcells[pos_c] == cell
+        cnt = np.where(hit, self._bstart[pos_c + 1] - self._bstart[pos_c], 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        pt = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        poly_k = self._bpolys[np.repeat(self._bstart[pos_c], cnt) + within]
+
+        # --- bbox prefilter over pairs ---
+        bb = self.bbox[poly_k]
+        px, py = lon[pt], lat[pt]
+        m = (px >= bb[:, 0]) & (px <= bb[:, 1]) & (py >= bb[:, 2]) & (py <= bb[:, 3])
+        pt, poly_k, px, py = pt[m], poly_k[m], px[m], py[m]
+        if not len(pt):
+            return empty
+
+        # --- exact ray cast: pair -> edge expansion, one vector pass ---
+        ecnt = self.estart[poly_k + 1] - self.estart[poly_k]
+        etotal = int(ecnt.sum())
+        pair = np.repeat(np.arange(len(pt), dtype=np.int64), ecnt)
+        ewithin = np.arange(etotal, dtype=np.int64) - np.repeat(
+            np.cumsum(ecnt) - ecnt, ecnt
+        )
+        eidx = np.repeat(self.estart[poly_k], ecnt) + ewithin
+        x1, y1 = self.ex1[eidx], self.ey1[eidx]
+        x2, y2 = self.ex2[eidx], self.ey2[eidx]
+        pye, pxe = py[pair], px[pair]
+        straddle = (y1 > pye) != (y2 > pye)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (pye - y1) / (y2 - y1) + x1
+        cross = straddle & (pxe < xint)
+        crossings = np.bincount(pair, weights=cross, minlength=len(pt)).astype(np.int64)
+        inside = (crossings % 2) == 1
+        return pt[inside], self.poly_ids[poly_k[inside]]
 
 
 def pip_contains_oracle(
