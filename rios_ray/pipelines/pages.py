@@ -41,16 +41,24 @@ def geocoded_pages(
     s2_level: int = DEFAULT_S2_LEVEL,
     hex_res: int = DEFAULT_HEX_RES,
     keep_text: bool = True,
+    keep_ts: bool = False,
     paths: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """pages -> extract_text (from html, byte-identical) -> geocode -> cells."""
-    ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"], paths=paths)
+    """pages -> extract_text (from html, byte-identical) -> geocode -> cells.
+
+    Prune at the read: ``warc_ts`` is decoded only when a consumer asks
+    for it (``keep_ts``); no current pipeline does.
+    """
+    read_cols = ["url", "warc_ts", "html", "lang"] if keep_ts else ["url", "html", "lang"]
+    ds = read_pages(sf_dir, columns=read_cols, paths=paths)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=BATCH_SIZE)
     ds = ds.map_batches(geocode, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=BATCH_SIZE)
     # html served its purpose; drop the heavy binary column before any shuffle
-    cols = GEO_COLS if keep_text else [c for c in GEO_COLS if c != "extracted_text"]
+    cols = [c for c in GEO_COLS if (keep_ts or c != "warc_ts")]
+    if not keep_text:
+        cols = [c for c in cols if c != "extracted_text"]
     ds = ds.select_columns(cols)
     return ds.map_batches(
         lambda b: assign_cells(b, grid_res, s2_level, hex_res),
