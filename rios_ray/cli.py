@@ -119,6 +119,11 @@ def cmd_run(sf_dir: str, out: str, fresh: bool = False) -> int:
         # under `ray job submit` RAY_ADDRESS points at the cluster;
         # standalone it is "local" in this sandbox
         ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    # shallow map chains + one exchange: per-operator resource
+    # reservation only throttles them (3.3x at 8 cpus, see bench.py)
+    DataContext.get_current().op_resource_reservation_enabled = False
     from .pipelines.resumable import finalize_flagship, resumable_flagship
 
     if fresh:

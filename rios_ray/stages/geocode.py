@@ -21,11 +21,22 @@ def extract_text(batch: pa.Table) -> pa.Table:
     The input_hint contract: extracted text per url must be
     byte-identical to the reference extraction.  Vectorized pyarrow
     string kernels only.
+
+    Wrapper stripping is a guarded SLICE, not a substring replace: a
+    replace would also delete wrapper strings occurring inside the
+    content, and it costs two full scans; the slice touches only the
+    affixes (one copy).  Unwrapped rows pass through untouched.
     """
     s = pc.cast(batch["html"], pa.string())
-    s = pc.replace_substring(s, HTML_PREFIX, "")
-    s = pc.replace_substring(s, HTML_SUFFIX, "")
-    return batch.append_column("extracted_text", s)
+    wrapped = pc.and_(
+        pc.starts_with(s, HTML_PREFIX), pc.ends_with(s, HTML_SUFFIX)
+    )
+    stripped = pc.utf8_slice_codeunits(
+        s, start=len(HTML_PREFIX), stop=-len(HTML_SUFFIX)
+    )
+    return batch.append_column(
+        "extracted_text", pc.if_else(wrapped, stripped, s)
+    )
 
 
 def geocode(batch: pa.Table, text_col: str = "extracted_text") -> pa.Table:

@@ -86,10 +86,32 @@ def gen_latlon(n: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray
     return lon, lat
 
 
+GEN_CHUNK = 1_000_000  # rows per generation block: keeps every string
+# array far below Arrow's 2 GiB 32-bit-offset capacity (the html column
+# alone crosses it near ~10M rows in one array)
+
+
 def gen_pages_table(n: int, seed: int = SEED) -> pa.Table:
-    """The pages table per FIXTURES.md §1 / input_hint, fully vectorized."""
-    rng = np.random.default_rng(seed)
-    i = np.arange(n, dtype=np.int64)
+    """The pages table per FIXTURES.md §1 / input_hint, fully vectorized.
+
+    Deterministic at every size.  Beyond GEN_CHUNK rows the table is
+    produced in independent seeded blocks (rng seeded by
+    ``[seed, start]``) and concatenated as chunked arrays; the first
+    block keeps the original ``default_rng(seed)`` stream, so tables of
+    <= GEN_CHUNK rows are bit-identical to the unchunked generator.
+    """
+    if n <= GEN_CHUNK:
+        return _gen_pages_block(0, n, seed)
+    return pa.concat_tables(
+        _gen_pages_block(s, min(s + GEN_CHUNK, n), seed)
+        for s in range(0, n, GEN_CHUNK)
+    )
+
+
+def _gen_pages_block(start: int, stop: int, seed: int = SEED) -> pa.Table:
+    n = stop - start
+    rng = np.random.default_rng(seed if start == 0 else [seed, start])
+    i = np.arange(start, stop, dtype=np.int64)
 
     # lang: seeded zipf over the categorical set
     zw = 1.0 / np.arange(1, len(LANGS) + 1) ** 1.3
