@@ -495,6 +495,11 @@ class VectorInput:
       mirroring ``burnAttribute``/``burnvalue`` (``applier.py:692-728``).
     - ``where``: simple (column, value) equality filter applied BEFORE
       rasterization — the ``filtersql`` analogue (M11).
+    - ``projection``: CRS of the ring coordinates; when it differs from
+      the working grid's, rings are transformed through the
+      ``reproject`` registry before rasterization (the reference
+      reprojects vectors with OGR before burning,
+      ``imagereader.py:195-276`` / testvector reproj case).
     - Pixel-center containment rule (``allTouched=False`` default of the
       reference); overlapping polygons burn last-in-file-order wins
       (GDAL feature-order semantics).
@@ -503,6 +508,7 @@ class VectorInput:
     source: "str | object"  # parquet path or pyarrow Table
     burn_col: str | None = None
     where: tuple | None = None
+    projection: str | None = None  # None -> assume working-grid CRS
 
 
 def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
@@ -521,6 +527,18 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
     if vi.where is not None:
         col, val = vi.where
         table = table.filter(pc.equal(table[col], val))
+    if vi.projection is not None and vi.projection != wg.projection:
+        # reproject ring coordinates onto the working grid's CRS once,
+        # driver-side (vector layers are the small side by contract)
+        from .reproject import get_transform
+
+        xf, yf = get_transform(vi.projection, wg.projection)
+        new_rings = []
+        for ring in table["ring_xy"].to_pylist():
+            r = np.asarray(ring, dtype=np.float64)
+            new_rings.append(np.stack([xf(r[:, 0]), yf(r[:, 1])], axis=1).tolist())
+        idx = table.schema.get_field_index("ring_xy")
+        table = table.set_column(idx, "ring_xy", pa.array(new_rings))
     if vi.burn_col is not None:
         burns = table[vi.burn_col].to_numpy(zero_copy_only=False).astype(np.int32)
     else:

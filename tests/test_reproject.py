@@ -124,3 +124,59 @@ def test_applier_cross_crs_input(ray_session, tmp_path):
     got = synth.tile_table_to_raster(pq.read_table(out_path), 1, onr, onc, np.float64)[0]
     want = _golden_warp(ramp, GEO_GRID, wg)
     assert np.array_equal(got, want)
+
+
+def test_vector_input_reprojection(ray_session, tmp_path):
+    """A polygon layer given in EPSG:3857 burns the same mask as the
+    identical layer pre-transformed to the grid's EPSG:4326 (testvector
+    reprojected-vector parity, exact for nearest/center rule)."""
+    import pyarrow as pa
+
+    from rios_ray.applier import ApplierControls, VectorInput, apply
+    from rios_ray.sources.tileraster import write_tile_raster
+    from rios_ray.synth import raster_to_tile_table, tile_table_to_raster
+
+    ramp = synth.gen_ramp_array().astype(np.float64)
+    src = write_tile_raster(
+        str(tmp_path / "geo.parquet"), raster_to_tile_table(ramp), GEO_GRID, 1, np.float64
+    )
+    # a lon/lat square inside the grid...
+    ring_4326 = [[11.0, 46.0], [13.0, 46.0], [13.0, 48.0], [11.0, 48.0], [11.0, 46.0]]
+    xf, yf = RP.get_transform("EPSG:4326", "EPSG:3857")
+    # ...and the same square expressed in web-mercator metres
+    ring_3857 = [
+        [float(xf(np.array([x]))[0]), float(yf(np.array([y]))[0])] for x, y in ring_4326
+    ]
+
+    def polys(ring):
+        return pa.table(
+            {
+                "poly_id": pa.array([1], type=pa.int64()),
+                "ring_xy": pa.array([ring]),
+                "category": pa.array(["a"]),
+                "burn_value": pa.array([7], type=pa.int32()),
+            }
+        )
+
+    def copy_mask(info, inputs, outputs):
+        outputs.out = inputs.mask
+
+    controls = ApplierControls()
+    controls.setReference("img")
+    controls.setCalcStats(False)
+
+    outs = {}
+    for tag, vi in {
+        "native": VectorInput(polys(ring_4326), burn_col="burn_value"),
+        "reproj": VectorInput(polys(ring_3857), burn_col="burn_value",
+                              projection="EPSG:3857"),
+    }.items():
+        out = str(tmp_path / f"{tag}.parquet")
+        apply(copy_mask, {"img": src, "mask": vi}, {"out": out},
+              controls=controls, out_dir=str(tmp_path))
+        import pyarrow.parquet as pq
+        nr, nc = GEO_GRID.dimensions()
+        outs[tag] = tile_table_to_raster(pq.read_table(out), 1, nr, nc, np.int32)[0]
+
+    assert (outs["native"] > 0).any()  # the square actually burns
+    np.testing.assert_array_equal(outs["native"], outs["reproj"])
