@@ -46,6 +46,12 @@ def run_bench() -> dict:
     # are shallow map chains with one tiny exchange — reservation's
     # multi-op memory-fairness protection buys nothing here.
     ctx.op_resource_reservation_enabled = False
+    # Ray's legacy floor of 200 read blocks over-splits small file sets
+    # (30 x 3 MB files -> 210 x 450 KB blocks), and at ~15 ms serial
+    # dispatch per task that floor alone costs ~3 s.  2 blocks per CPU
+    # keeps every core busy without manufacturing tiny tasks; at real
+    # scale file count and target block size drive parallelism instead.
+    ctx.read_op_min_num_blocks = 2 * num_cpus
 
     from rios_ray import synth
     from rios_ray.pipelines.pages import (

@@ -123,7 +123,9 @@ def cmd_run(sf_dir: str, out: str, fresh: bool = False) -> int:
 
     # shallow map chains + one exchange: per-operator resource
     # reservation only throttles them (3.3x at 8 cpus, see bench.py)
-    DataContext.get_current().op_resource_reservation_enabled = False
+    ctx = DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False
+    ctx.read_op_min_num_blocks = 2 * int(ray.cluster_resources().get("CPU", 4))
     from .pipelines.resumable import finalize_flagship, resumable_flagship
 
     if fresh:

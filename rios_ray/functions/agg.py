@@ -102,7 +102,16 @@ def hash_grouped_aggregate(
         return partials.repartition(1).map_batches(
             final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
-    return partials.groupby("_part").map_groups(final, batch_format="pyarrow")
+    # coalesce partial blocks to the partition count before the keyed
+    # exchange: the sort shuffle spawns one map + one reduce task per
+    # block, so 210 tiny partial blocks cost 420 near-empty tasks of
+    # pure dispatch overhead (measured 6 s wall for 0.2 s of work);
+    # 16 coalesced blocks -> 32 tasks
+    return (
+        partials.repartition(num_partitions)
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def hash_partitioned_groups(ds, keys: list[str], partition_fn, num_partitions: int = 16):

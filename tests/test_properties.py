@@ -28,7 +28,7 @@ def test_snap_idempotent(val, res):
     assert s2 == s1  # snapping an on-grid value is a fixpoint
 
 
-@settings(max_examples=50)
+@settings(max_examples=50, deadline=None)
 @given(
     st.integers(min_value=1, max_value=3000),
     st.integers(min_value=1, max_value=3000),
@@ -51,7 +51,7 @@ def test_block_list_tiles_grid_exactly(nrows, ncols, by, bx):
     assert keys == sorted(keys)
 
 
-@settings(max_examples=50)
+@settings(max_examples=50, deadline=None)
 @given(
     st.floats(min_value=-179.99, max_value=179.99, allow_nan=False),
     st.floats(min_value=-89.99, max_value=89.99, allow_nan=False),
@@ -72,7 +72,7 @@ def test_cell_id_roundtrip_and_bounds(lon, lat, res):
     assert -180.0 + cx[0] * step - tol <= lon <= -180.0 + (cx[0] + 1) * step + tol
 
 
-@settings(max_examples=30)
+@settings(max_examples=30, deadline=None)
 @given(
     st.floats(min_value=-170, max_value=170, allow_nan=False),
     st.floats(min_value=-80, max_value=80, allow_nan=False),
