@@ -97,15 +97,52 @@ def spatial_join(sf_dir: str, concurrency=None, **geo_kwargs) -> ray.data.Datase
     )
 
 
-def flagship(sf_dir: str) -> ray.data.Dataset:
+def flagship(sf_dir: str, grid_res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
     """Spatial-join + tiling headline: per-(cell, category) page counts.
+
+    Lean projection of the general path (the flagship is memory-
+    bandwidth-bound once vectorized, so every byte not read or copied
+    is throughput): reads ONLY ``html``, geocodes straight off the
+    html string (the geo token regex matches identically with or
+    without the wrapper — no extracted-text copy), assigns only the
+    grid cell (no s2/hex), and the PIP stage keeps only ``cell``.
+    Result is identical to
+    ``grouped_count(spatial_join(...), ["cell", "category"])`` —
+    verified by the same DuckDB oracle.
 
     Pre-aggregated per batch (combiner) so the one shuffle moves
     per-batch partials keyed by the same cell id used for tiling.
     """
-    from ..functions.agg import grouped_count
+    import pyarrow.compute as pc
 
-    joined = spatial_join(sf_dir)
+    from .. import cells as C
+    from ..functions.agg import grouped_count
+    from ..stages.geocode import GEO_PATTERN
+
+    ppath, _ = synth.ensure_polygons()
+    polys_ref = ray.put(pq.read_table(ppath))
+
+    def geocells(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["html"], pa.string())
+        ex = pc.extract_regex(s, GEO_PATTERN)
+        lat = pc.cast(pc.struct_field(ex, "glat"), pa.float64())
+        lon = pc.cast(pc.struct_field(ex, "glon"), pa.float64())
+        cell = C.grid_cell_id(
+            lon.to_numpy(zero_copy_only=False),
+            lat.to_numpy(zero_copy_only=False),
+            grid_res,
+        )
+        return pa.table({"lon": lon, "lat": lat, "cell": pa.array(cell)})
+
+    ds = read_pages(sf_dir, columns=["html"], bundle_files=True).map_batches(
+        geocells, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    joined = ds.map_batches(
+        pip_join_fn(polys_ref, keep_cols=["cell"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
     # tree final: cell x category cardinality is bounded by the grid
     return grouped_count(joined, ["cell", "category"], alias="n_pages",
                          final_mode="tree")
