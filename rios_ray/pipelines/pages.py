@@ -50,7 +50,10 @@ def geocoded_pages(
     for it (``keep_ts``); no current pipeline does.
     """
     read_cols = ["url", "warc_ts", "html", "lang"] if keep_ts else ["url", "html", "lang"]
-    ds = read_pages(sf_dir, columns=read_cols, paths=paths)
+    # bundle small shard files on full scans; per-shard blocks are kept
+    # when the caller restricts paths (the checkpoint-resume unit)
+    ds = read_pages(sf_dir, columns=read_cols, paths=paths,
+                    bundle_files=paths is None)
     ds = ds.map_batches(extract_text, batch_format="pyarrow", zero_copy_batch=True,
                         batch_size=BATCH_SIZE)
     ds = ds.map_batches(geocode, batch_format="pyarrow", zero_copy_batch=True,
@@ -279,7 +282,7 @@ def host_counts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    ds = read_pages(sf_dir, columns=["url", "text"]).map_batches(
+    ds = read_pages(sf_dir, columns=["url", "text"], bundle_files=True).map_batches(
         host_stats, batch_format="pyarrow", zero_copy_batch=True
     )
     return hash_grouped_aggregate(
