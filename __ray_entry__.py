@@ -201,6 +201,12 @@ def _q_host_counts(sf_dir: str):
     return host_counts(sf_dir)
 
 
+def _q_token_quantiles(sf_dir: str):
+    from rios_ray.pipelines.text import token_quantiles
+
+    return token_quantiles(sf_dir)
+
+
 def _q_vocab_topk(sf_dir: str):
     from rios_ray.pipelines.text import vocab_topk
 
@@ -412,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_topk_tokens": _q_text_topk,
         "text_pii": _q_text_pii,
         "vocab_topk": _q_vocab_topk,
+        "token_quantiles": _q_token_quantiles,
         "decontaminate": _q_decontaminate,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -490,6 +497,7 @@ def _text_oracle_sql() -> dict[str, str]:
               FROM documents
         """,
         "text_pii": _pii_sql(),
+        "token_quantiles": _token_quantiles_sql(),
         "vocab_topk": """
             WITH tok AS (
                 SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -502,6 +510,30 @@ def _text_oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": _decontaminate_sql(),
     }
+
+
+def _token_quantiles_sql() -> str:
+    """Same cumsum >= ceil(q*n) rule as pipelines.text.token_quantiles."""
+    from rios_ray.pipelines.text import QUANTILES
+
+    one = """
+        SELECT {q} AS q,
+               (SELECT min(n_tokens) FROM cum WHERE cm >= ceil({q} * tot)) AS value
+    """
+    selects = " UNION ALL ".join(one.format(q=q) for q in QUANTILES)
+    return f"""
+        WITH tok AS (
+            SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents
+        ),
+        h AS (SELECT n_tokens, count(*) AS c FROM tok GROUP BY n_tokens),
+        cum AS (
+            SELECT n_tokens,
+                   sum(c) OVER (ORDER BY n_tokens) AS cm,
+                   (SELECT sum(c) FROM h) AS tot
+              FROM h
+        )
+        {selects}
+    """
 
 
 def _pii_sql() -> str:

@@ -205,3 +205,49 @@ def vocab_topk(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     )
     per_token = hash_grouped_aggregate(ds, ["token"], [("df_part", "sum", "df")])
     return distributed_topk(per_token, k, ["df", "token"], [False, True])
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def token_quantiles(sf_dir: str, qs: tuple = QUANTILES):
+    """Exact distributed quantiles of per-document token counts.
+
+    The raster A5 pattern (histogram -> median/mode,
+    ``stats.py::median_mode_from_hist``) applied to text: token counts
+    are small integers, so a unit-width histogram is EXACT — per-batch
+    grouped-count partials shuffle one row per distinct count per
+    batch, the merged histogram is tiny (bounded by max doc length),
+    and the driver reads quantiles off the cumulative sum.  Quantile
+    rule: smallest value with cumfreq >= ceil(q * n) — mirrored
+    exactly by the oracle SQL's window cumsum.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+    from ..text.analysis import TOKEN_RE
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], TOKEN_RE).cast(pa.int64())
+        return pa.table({"n_tokens": n})
+
+    ds = read_documents(sf_dir, columns=["text"]).map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    hist = hash_grouped_aggregate(
+        ds, ["n_tokens"], [(None, "count", "c")], final_mode="tree"
+    ).to_pandas()
+    hist = hist.sort_values("n_tokens").reset_index(drop=True)
+    cum = hist["c"].cumsum()
+    total = int(cum.iloc[-1])
+    rows = []
+    for q in qs:
+        import math
+
+        rank = math.ceil(q * total)
+        idx = int((cum >= rank).idxmax())
+        rows.append({"q": float(q), "value": int(hist["n_tokens"][idx])})
+    return pd.DataFrame(rows)

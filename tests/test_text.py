@@ -196,3 +196,18 @@ def test_vocab_topk_vs_duckdb(ray_session, con):
     """).df()
     assert got["token"].tolist() == want["token"].tolist()
     assert got["df"].tolist() == want["df"].tolist()
+
+
+def test_token_quantiles_vs_numpy(ray_session):
+    """Quantile rule (smallest value with cumfreq >= ceil(q*n)) checked
+    against a direct numpy computation over all token counts."""
+    from rios_ray.pipelines.text import token_quantiles
+
+    got = token_quantiles(SF)
+    t = pq.read_table(DOCS, columns=["text"])
+    n = np.array([len(s.split()) for s in t["text"].to_pylist()])
+    # NOTE: \S+ count == str.split() token count for whitespace text
+    n.sort()
+    for _, row in got.iterrows():
+        rank = int(np.ceil(row["q"] * len(n)))
+        assert row["value"] == n[rank - 1], row["q"]
