@@ -301,6 +301,12 @@ def _q_rel_q14(sf_dir: str):
     return R.q14_type_revenue(sf_dir)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    from rios_ray.pipelines.events import distinct_users
+
+    return distinct_users(sf_dir)
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -433,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
+        "events_distinct_users": _q_events_distinct_users,
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
@@ -724,6 +731,11 @@ def _events_oracle_sql() -> dict[str, str]:
 
     W, GAP = DEFAULT_WINDOW_US, DEFAULT_GAP_US
     return {
+        "events_distinct_users": f"""
+            SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
+                   count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1
+        """,
         "events_tumbling": f"""
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window, event_type,
                    count(*) AS n_events, min(value) AS min_value, max(value) AS max_value

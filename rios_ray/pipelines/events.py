@@ -163,3 +163,37 @@ def session_windows(
         add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
     )
     return ds.groupby("_part").map_groups(sessionize, batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
+    """(window, n_users): exact COUNT(DISTINCT user_id) per tumbling
+    window.
+
+    The scale-correct two-level shape for grouped count-distinct:
+    per-batch pair dedup (one (window, user) row per batch enters the
+    exchange, not one per event), ONE hash exchange on the pair key so
+    a pair never lands in two partitions, per-partition dedup + count,
+    then a tiny tree sum over per-partition window partials (window
+    count is bounded by the time range).  No global distinct set is
+    ever materialized anywhere.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+
+    def pairs(b: pa.Table) -> pa.Table:
+        w = _epoch_us(b) // window_us
+        t = pa.table({"window": pa.array(w), "user_id": b["user_id"]})
+        return t.group_by(["window", "user_id"]).aggregate([])
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        d = tbl.group_by(["window", "user_id"]).aggregate([])
+        g = d.group_by(["window"]).aggregate([([], "count_all")])
+        return g.rename_columns(["window", "n_part"])
+
+    parts = hash_partitioned_groups(ds, ["window", "user_id"], per_partition)
+    return hash_grouped_aggregate(
+        parts, ["window"], [("n_part", "sum", "n_users")], final_mode="tree"
+    )

@@ -78,3 +78,16 @@ def test_session_windows(ray_session, con):
         assert got[c].tolist() == want[c].tolist(), f"col {c}"
     # sanity: multiple sessions exist and gap property holds for one user
     assert got.groupby("user_id")["session_id"].max().max() >= 1
+
+
+def test_distinct_users_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import DEFAULT_WINDOW_US, distinct_users
+
+    got = distinct_users(SF).to_pandas().sort_values("window").reset_index(drop=True)
+    want = con.execute(f"""
+        SELECT CAST(floor(epoch_us(ts) / {DEFAULT_WINDOW_US}) AS BIGINT) AS window,
+               count(DISTINCT user_id) AS n_users
+          FROM events GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["window"].tolist() == want["window"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
