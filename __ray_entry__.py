@@ -307,6 +307,12 @@ def _q_events_distinct_users(sf_dir: str):
     return distinct_users(sf_dir)
 
 
+def _q_events_users_hll(sf_dir: str):
+    from rios_ray.pipelines.events import distinct_users_hll
+
+    return distinct_users_hll(sf_dir)
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -440,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_distinct_users": _q_events_distinct_users,
+        "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)

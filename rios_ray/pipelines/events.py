@@ -197,3 +197,99 @@ def distinct_users(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
     return hash_grouped_aggregate(
         parts, ["window"], [("n_part", "sum", "n_users")], final_mode="tree"
     )
+
+
+HLL_P = 12  # 2^12 = 4096 registers -> ~1.6% relative error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche hash (public splitmix64 constants)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def _hll_registers(ids: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Dense HLL register array for a batch of int ids (vectorized)."""
+    m = 1 << p
+    h = _splitmix64(ids)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # guard bit
+    # rho = leading zeros of rest + 1, via float64 exponent extraction
+    rho = (64 - np.floor(np.log2(rest.astype(np.float64) + 0.5)).astype(np.int64)).clip(1, 64 - p + 1)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction (Flajolet et al. 2007)."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
+    """(window, n_users_approx): HyperLogLog distinct users per window.
+
+    The sketch path for cardinalities too large for exact pair dedup:
+    each batch emits one (window, 4 KiB register blob) row, merge is an
+    elementwise register max (associative + commutative, so partials
+    tree-combine freely), the driver estimates from one register array
+    per window.  Exchange volume is O(windows x batches x 4 KiB),
+    independent of user cardinality.  Approximate by design (~1.6%
+    rel. error at p=12) -> no SQL oracle; accuracy asserted vs the
+    exact operator in tests.
+    """
+    import pandas as pd
+
+    from ..functions.agg import hash_partitioned_groups
+
+    m = 1 << HLL_P
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = _epoch_us(b) // window_us
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, us = w[order], uid[order]
+        bounds = np.flatnonzero(np.diff(ws)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ws)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            rows.append({"window": int(ws[s]),
+                         "regs": _hll_registers(us[s:e]).tobytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("window", pa.int64()), ("regs", pa.binary())])
+        )
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        w = tbl["window"].to_numpy(zero_copy_only=False)
+        blobs = tbl["regs"].to_pylist()
+        out = []
+        for win in np.unique(w):
+            sel = np.flatnonzero(w == win)
+            regs = np.zeros(m, dtype=np.uint8)
+            for i in sel:
+                regs = np.maximum(regs, np.frombuffer(blobs[i], dtype=np.uint8))
+            out.append({"window": int(win),
+                        "n_users_approx": round(_hll_estimate(regs), 1)})
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema([("window", pa.int64()), ("n_users_approx", pa.float64())]),
+        )
+
+    return hash_partitioned_groups(ds, ["window"], merge, num_partitions=8)

@@ -91,3 +91,35 @@ def test_distinct_users_vs_duckdb(ray_session, con):
     """).df()
     assert got["window"].tolist() == want["window"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
+
+
+def test_distinct_users_hll_accuracy(ray_session, con):
+    """HLL estimate within 5% of the exact per-window cardinality
+    (p=12 gives ~1.6% expected relative error)."""
+    from rios_ray.pipelines.events import DEFAULT_WINDOW_US, distinct_users_hll
+
+    got = distinct_users_hll(SF).to_pandas().set_index("window")["n_users_approx"]
+    want = con.execute(f"""
+        SELECT CAST(floor(epoch_us(ts) / {DEFAULT_WINDOW_US}) AS BIGINT) AS window,
+               count(DISTINCT user_id) AS n FROM events GROUP BY 1
+    """).df().set_index("window")["n"]
+    assert set(got.index) == set(want.index)
+    rel = (got - want).abs() / want
+    assert rel.max() < 0.05, rel.sort_values().tail()
+
+
+def test_hll_register_merge_associative():
+    """Register max over any partitioning equals the single-pass sketch."""
+    import numpy as np
+
+    from rios_ray.pipelines.events import _hll_estimate, _hll_registers
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 10_000_000, size=30_000)
+    whole = _hll_registers(ids)
+    parts = np.maximum.reduce([
+        _hll_registers(c) for c in np.array_split(ids, 7)
+    ])
+    assert np.array_equal(whole, parts)
+    exact = len(np.unique(ids))
+    assert abs(_hll_estimate(whole) - exact) / exact < 0.05
