@@ -295,6 +295,12 @@ def _q_rel_q5(sf_dir: str):
     return R.q5_nation_revenue(sf_dir)
 
 
+def _q_rel_q18(sf_dir: str):
+    from rios_ray.pipelines.relational import q18_big_orders
+
+    return q18_big_orders(sf_dir, min_qty=200)
+
+
 def _q_rel_q14(sf_dir: str):
     from rios_ray.pipelines import relational as R
 
@@ -442,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_nation_revenue": _q_rel_q5,
         "rel_q14_type_revenue": _q_rel_q14,
+        "rel_q18_big_orders": _q_rel_q18,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -701,6 +708,15 @@ def _relational_oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
               FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-01'
              GROUP BY 1, 2
+        """,
+        "rel_q18_big_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+                  FROM lineitem GROUP BY 1
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+            )
+            SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+              FROM orders JOIN big ON o_orderkey = l_orderkey
         """,
         "rel_q3_top_orders": f"""
             SELECT l_orderkey, {rev} AS revenue_cents

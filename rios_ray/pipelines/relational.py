@@ -282,3 +282,59 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     return hash_grouped_aggregate(
         tagged, ["r_name", "n_name"], [("rev_cents", "sum", "revenue_cents")]
     )
+
+
+def q18_big_orders(sf_dir: str, min_qty: int = 200) -> ray.data.Dataset:
+    """Q18-style: orders whose total lineitem quantity exceeds
+    ``min_qty``, with customer key and order date.
+
+    The HAVING + back-join shape: per-order quantity totals via the
+    combiner-first aggregate, the HAVING filter applied partition-side
+    (only survivors leave the exchange), and the filtered key->total
+    map broadcast to filter/annotate the orders table — the HAVING
+    result is the small side by construction (the threshold exists to
+    make it selective), so the back-join is shuffle-free.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    per_order = hash_grouped_aggregate(li, ["l_orderkey"], [("qty", "sum", "total_qty")])
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["total_qty"], min_qty))
+
+    big = per_order.map_batches(
+        having, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    keys = np.sort(big["l_orderkey"].to_numpy())
+    totals = big.set_index("l_orderkey")["total_qty"]
+    totals_sorted = totals.loc[keys].to_numpy()
+    ref = ray.put((keys, totals_sorted))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        wanted, tq = ray.get(ref)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ok)
+        pos_c = np.minimum(pos, max(len(wanted) - 1, 0))
+        keep = (wanted[pos_c] == ok) if len(wanted) else np.zeros(len(ok), dtype=bool)
+        b = b.filter(pa.array(keep))
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = tq[np.searchsorted(wanted, ok)]
+        return b.append_column("total_qty", pa.array(t, type=pa.int64()))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    return orders.map_batches(
+        annotate, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )

@@ -95,3 +95,25 @@ def test_q14(ray_session, con):
     assert got["p_type"].tolist() == want["p_type"].tolist()
     assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
     assert got["n_lines"].tolist() == want["n_lines"].tolist()
+
+
+def test_q18(ray_session, con):
+    got = (
+        R.q18_big_orders(SF, min_qty=120)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+              FROM lineitem GROUP BY 1
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 120
+        )
+        SELECT o_orderkey, o_custkey, total_qty
+          FROM orders JOIN big ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey
+    """).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["total_qty"].tolist() == want["total_qty"].tolist()
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
