@@ -319,6 +319,12 @@ def _q_events_users_hll(sf_dir: str):
     return distinct_users_hll(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    from rios_ray.pipelines.events import asof_last_event
+
+    return asof_last_event(sf_dir, "click", "error")
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -454,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_distinct_users": _q_events_distinct_users,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
+        "events_asof_join": _q_events_asof,
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
@@ -758,6 +765,13 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_asof_join": """
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS e,
+                   (SELECT max(epoch_us(e2.ts)) FROM events e2
+                     WHERE e2.user_id = c.user_id AND e2.event_type = 'error'
+                       AND e2.ts <= c.ts) AS last_right_e
+              FROM events c WHERE c.event_type = 'click'
         """,
         "events_tumbling": f"""
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window, event_type,

@@ -293,3 +293,75 @@ def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
         )
 
     return hash_partitioned_groups(ds, ["window"], merge, num_partitions=8)
+
+
+def asof_last_event(sf_dir: str, left_type: str = "click",
+                    right_type: str = "error"):
+    """As-of join: for every ``left_type`` event, the timestamp of the
+    latest ``right_type`` event by the same user at-or-before it.
+
+    Ray Data has no as-of join; the composition is the documented
+    custom-operator recipe: hash-partition both sides on the equi-key
+    (user) so each partition holds complete user timelines, then a
+    per-partition vectorized backward search (sort + merge positions
+    via searchsorted) — the partitioning assumption is that one user's
+    events fit a partition, the same invariant session_windows relies
+    on.  Output timestamps are epoch microseconds (int64; null when no
+    prior right event exists).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "e": pa.array(_epoch_us(b)),
+                "is_left": pc.equal(b["event_type"], left_type),
+            }
+        )
+
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        e = tbl["e"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        is_left = tbl["is_left"].to_numpy(zero_copy_only=False)
+        # dense (user rank, time offset) composite key: one int64
+        # searchsorted finds the last right at-or-before each left.
+        # rank * span stays well inside int64 (users/partition x time
+        # span; ~1e6 x 1e13 us = 1e19 would overflow, but a partition's
+        # user count is corpus/partitions — document the invariant)
+        emin = int(e.min()) if len(e) else 0
+        span = (int(e.max()) - emin + 2) if len(e) else 1
+        _, rank = np.unique(uid, return_inverse=True)
+        key = rank.astype(np.int64) * span + (e - emin)
+        r_mask = ~is_left
+        r_key = np.sort(key[r_mask])
+        r_rank_sorted = rank[r_mask][np.argsort(key[r_mask], kind="stable")]
+        r_e_sorted = (r_key % span) + emin if span else r_key
+        l_mask = is_left
+        l_key, l_rank = key[l_mask], rank[l_mask]
+        pos = np.searchsorted(r_key, l_key, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        valid = (pos >= 0) & (r_rank_sorted[pos_c] == l_rank) if len(r_key) else np.zeros(l_mask.sum(), dtype=bool)
+        last_e = r_e_sorted[pos_c] if len(r_key) else np.zeros(int(l_mask.sum()), dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[l_mask]),
+                "user_id": pa.array(uid[l_mask]),
+                "e": pa.array(e[l_mask]),
+                "last_right_e": pa.array(
+                    last_e.astype(np.int64), type=pa.int64(), mask=~valid
+                ),
+            }
+        )
+
+    return hash_partitioned_groups(ds, ["user_id"], per_partition)

@@ -1,6 +1,7 @@
 """Windowed-aggregate golden tests vs DuckDB (tumbling, sliding,
 gap-based sessions)."""
 
+import pandas as pd
 import duckdb
 import pytest
 
@@ -123,3 +124,29 @@ def test_hll_register_merge_associative():
     assert np.array_equal(whole, parts)
     exact = len(np.unique(ids))
     assert abs(_hll_estimate(whole) - exact) / exact < 0.05
+
+
+def test_asof_last_event_vs_duckdb(ray_session, con):
+    """As-of join vs DuckDB's native ASOF JOIN semantics (latest right
+    at-or-before the left, per user)."""
+    from rios_ray.pipelines.events import asof_last_event
+
+    got = (
+        asof_last_event(SF, "click", "error")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT c.event_id, c.user_id, epoch_us(c.ts) AS e,
+               (SELECT max(epoch_us(e2.ts)) FROM events e2
+                 WHERE e2.user_id = c.user_id AND e2.event_type = 'error'
+                   AND e2.ts <= c.ts) AS last_right_e
+          FROM events c WHERE c.event_type = 'click'
+         ORDER BY c.event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    g = got["last_right_e"].astype("Int64").tolist()
+    w = want["last_right_e"].astype("Int64").tolist()
+    assert g == w
+    assert any(v is not None and v is not pd.NA for v in g)
