@@ -325,6 +325,12 @@ def _q_events_asof(sf_dir: str):
     return asof_last_event(sf_dir, "click", "error")
 
 
+def _q_events_range_join(sf_dir: str):
+    from rios_ray.pipelines.events import range_join_counts
+
+    return range_join_counts(sf_dir, "click", "error")
+
+
 def _q_events_tumbling(sf_dir: str):
     from rios_ray.pipelines import events as E
 
@@ -461,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "rat_derive": _q_rat_derive,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
@@ -771,6 +778,15 @@ def _events_oracle_sql() -> dict[str, str]:
                    (SELECT max(epoch_us(e2.ts)) FROM events e2
                      WHERE e2.user_id = c.user_id AND e2.event_type = 'error'
                        AND e2.ts <= c.ts) AS last_right_e
+              FROM events c WHERE c.event_type = 'click'
+        """,
+        "events_range_join": f"""
+            SELECT c.event_id, c.user_id, epoch_us(c.ts) AS e,
+                   (SELECT count(*) FROM events e2
+                     WHERE e2.user_id = c.user_id AND e2.event_type = 'error'
+                       AND epoch_us(e2.ts) BETWEEN epoch_us(c.ts) - {3_600_000_000}
+                                               AND epoch_us(c.ts) + {3_600_000_000}
+                   ) AS n_right
               FROM events c WHERE c.event_type = 'click'
         """,
         "events_tumbling": f"""

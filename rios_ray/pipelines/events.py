@@ -365,3 +365,72 @@ def asof_last_event(sf_dir: str, left_type: str = "click",
         )
 
     return hash_partitioned_groups(ds, ["user_id"], per_partition)
+
+
+def range_join_counts(sf_dir: str, left_type: str = "click",
+                      right_type: str = "error",
+                      radius_us: int = HOUR_US):
+    """Range (interval) join: for every ``left_type`` event, the number
+    of ``right_type`` events by the same user within ``radius_us``
+    microseconds either side of it.
+
+    Same custom-operator recipe as :func:`asof_last_event` (Ray Data has
+    no range join): hash-partition on the equi-key (user) so each
+    partition holds complete user timelines, then a per-partition
+    vectorized interval count — right side sorted once on a dense
+    (user rank, time offset) composite int64 key, each left row's count
+    is ``searchsorted(hi, 'right') - searchsorted(lo, 'left')``.  Window
+    bounds are clamped to the partition's offset range so a window that
+    extends past the observed time span never bleeds into a neighbouring
+    user's key range.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array([left_type, right_type]))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "e": pa.array(_epoch_us(b)),
+                "is_left": pc.equal(b["event_type"], left_type),
+            }
+        )
+
+    ds = read_events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        e = tbl["e"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        is_left = tbl["is_left"].to_numpy(zero_copy_only=False)
+        emin = int(e.min()) if len(e) else 0
+        span = (int(e.max()) - emin + 2) if len(e) else 1
+        _, rank = np.unique(uid, return_inverse=True)
+        rank = rank.astype(np.int64)
+        off = e - emin
+        r_key = np.sort(rank[~is_left] * span + off[~is_left])
+        l_rank, l_off = rank[is_left], off[is_left]
+        # all right offsets lie in [0, span-2]; clamping keeps lo/hi
+        # keys inside the left row's own rank block.
+        lo = l_rank * span + np.clip(l_off - radius_us, 0, span - 1)
+        hi = l_rank * span + np.clip(l_off + radius_us, 0, span - 1)
+        n = (
+            np.searchsorted(r_key, hi, side="right")
+            - np.searchsorted(r_key, lo, side="left")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_left]),
+                "user_id": pa.array(uid[is_left]),
+                "e": pa.array(e[is_left]),
+                "n_right": pa.array(n),
+            }
+        )
+
+    return hash_partitioned_groups(ds, ["user_id"], per_partition)

@@ -150,3 +150,29 @@ def test_asof_last_event_vs_duckdb(ray_session, con):
     w = want["last_right_e"].astype("Int64").tolist()
     assert g == w
     assert any(v is not None and v is not pd.NA for v in g)
+
+
+def test_range_join_counts_vs_duckdb(ray_session, con):
+    """Interval join (±1h same-user window count) vs a DuckDB correlated
+    range count."""
+    from rios_ray.pipelines.events import range_join_counts
+
+    got = (
+        range_join_counts(SF, "click", "error")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT c.event_id,
+               (SELECT count(*) FROM events e2
+                 WHERE e2.user_id = c.user_id AND e2.event_type = 'error'
+                   AND epoch_us(e2.ts) BETWEEN epoch_us(c.ts) - 3600000000
+                                           AND epoch_us(c.ts) + 3600000000
+               ) AS n_right
+          FROM events c WHERE c.event_type = 'click'
+         ORDER BY c.event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["n_right"].tolist() == want["n_right"].tolist()
+    assert got["n_right"].max() > 0
