@@ -307,6 +307,12 @@ def _q_rel_q14(sf_dir: str):
     return R.q14_type_revenue(sf_dir)
 
 
+def _q_rel_q6(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q6_forecast_revenue(sf_dir)
+
+
 def _q_events_distinct_users(sf_dir: str):
     from rios_ray.pipelines.events import distinct_users
 
@@ -459,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_nation_revenue": _q_rel_q5,
+        "rel_q6_forecast_revenue": _q_rel_q6,
         "rel_q14_type_revenue": _q_rel_q14,
         "rel_q18_big_orders": _q_rel_q18,
         "events_tumbling": _q_events_tumbling,
@@ -757,6 +764,17 @@ def _relational_oracle_sql() -> dict[str, str]:
               FROM lineitem
               JOIN part ON l_partkey = p_partkey
              GROUP BY p_type
+        """,
+        "rel_q6_forecast_revenue": """
+            SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                                     AS BIGINT)), 0) AS revenue_cents,
+                   count(*) AS n_lines
+              FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1997-01-01'
+               AND l_discount >= CAST(0.05 AS DOUBLE)
+               AND l_discount <= CAST(0.07 AS DOUBLE)
+               AND l_quantity < 24
         """,
     }
 

@@ -204,6 +204,69 @@ def q14_type_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q6_forecast_revenue(
+    sf_dir: str,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> ray.data.Dataset:
+    """Q6-style forecast-revenue delta: SUM(price * discount) over lines
+    in a one-year ship window with discount in [lo, hi] and quantity
+    below the cap.  The canonical scan-heavy filtered global aggregate:
+    a 4-column pruned read, per-batch boolean mask + cents partial sum,
+    then a single-row merge — no keyed exchange at all (the reduction is
+    a scalar, so the combine is ``repartition(1)`` over one-row
+    partials, never a groupby).  Cents math as in module docstring;
+    the discount bounds compare float64-to-float64 with the identical
+    literals on the SQL side."""
+    lo_us = np.datetime64(ship_from, "us").astype(np.int64)
+    hi_us = np.datetime64(ship_to, "us").astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (
+            (ship >= lo_us) & (ship < hi_us)
+            & (disc >= disc_lo) & (disc <= disc_hi) & (qty < max_qty)
+        )
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(_cents(price * disc[keep]).sum())], type=pa.int64()
+                ),
+                "n_lines": pa.array([int(keep.sum())], type=pa.int64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def merge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(b["revenue_cents"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+                "n_lines": pa.array(
+                    [int(b["n_lines"].to_numpy(zero_copy_only=False).sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return ds.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     """Q5-style: discounted revenue per (region, nation) where customer
     and supplier share the nation.  All dimensions broadcast (nation /

@@ -117,3 +117,22 @@ def test_q18(ray_session, con):
     assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
     assert got["total_qty"].tolist() == want["total_qty"].tolist()
     assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+
+
+def test_q6(ray_session, con):
+    got = R.q6_forecast_revenue(SF).to_pandas()
+    want = con.execute("""
+        SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                                 AS BIGINT)), 0) AS revenue_cents,
+               count(*) AS n_lines
+          FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_discount >= CAST(0.05 AS DOUBLE)
+           AND l_discount <= CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24
+    """).df()
+    assert len(got) == 1
+    assert got["revenue_cents"].iloc[0] == want["revenue_cents"].iloc[0]
+    assert got["n_lines"].iloc[0] == want["n_lines"].iloc[0]
+    assert got["n_lines"].iloc[0] > 0
