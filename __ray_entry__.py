@@ -219,6 +219,14 @@ def _q_text_pii(sf_dir: str):
     return T.pii(sf_dir)
 
 
+def _q_stratified_sample(sf_dir: str):
+    from rios_ray.pipelines.text import stratified_sample
+
+    return stratified_sample(
+        sf_dir, rates={"src0": 1.0, "src1": 0.0}, default_rate=0.5
+    )
+
+
 def _q_decontaminate(sf_dir: str):
     from rios_ray.pipelines.text import decontaminate
 
@@ -456,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "token_quantiles": _q_token_quantiles,
         "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
@@ -551,6 +560,13 @@ def _text_oracle_sql() -> dict[str, str]:
              LIMIT 100
         """,
         "decontaminate": _decontaminate_sql(),
+        "stratified_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+             WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+                   CASE source WHEN 'src0' THEN 10000
+                               WHEN 'src1' THEN 0
+                               ELSE 5000 END
+        """,
     }
 
 

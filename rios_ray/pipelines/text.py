@@ -251,3 +251,52 @@ def token_quantiles(sf_dir: str, qs: tuple = QUANTILES):
         idx = int((cum >= rank).idxmax())
         rows.append({"q": float(q), "value": int(hist["n_tokens"][idx])})
     return pd.DataFrame(rows)
+
+
+# deterministic sampling: Knuth multiplicative hash of doc_id into
+# 10k buckets.  Chosen over a byte-hash because the identical integer
+# expression is computable overflow-free on BIGINT in ANSI SQL, so the
+# sample is oracle-checkable; production would swap in splitmix64.
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 4294967296
+SAMPLE_BUCKETS = 10000
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    key_col: str = "source",
+    default_rate: float = 0.5,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling — the corpus-mixing primitive
+    (rates = per-source mixing weights for training-data recipes).
+
+    A row is kept iff ``hash(doc_id) % 10000 < rate[stratum] * 10000``:
+    a pure row-local predicate, so the operator is a single stateless
+    ``map_batches`` filter — no shuffle, no RNG state, and re-running a
+    failed shard reproduces the same sample (resumability contract).
+    Thresholds are resolved per batch via dictionary-encode + a numpy
+    gather over stratum codes (no Python loop over rows).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    rates = dict(rates or {})
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ((ids * SAMPLE_MULT) % SAMPLE_MOD) % SAMPLE_BUCKETS
+        strat = b[key_col].combine_chunks().dictionary_encode()
+        names = strat.dictionary.to_pylist()
+        thr = np.array(
+            [int(rates.get(n, default_rate) * SAMPLE_BUCKETS) for n in names],
+            dtype=np.int64,
+        )
+        codes = strat.indices.to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(bucket < thr[codes]))
+
+    return read_documents(
+        sf_dir, columns=["doc_id", "lang", key_col, "n_chars"]
+    ).map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )

@@ -211,3 +211,27 @@ def test_token_quantiles_vs_numpy(ray_session):
     for _, row in got.iterrows():
         rank = int(np.ceil(row["q"] * len(n)))
         assert row["value"] == n[rank - 1], row["q"]
+
+
+def test_stratified_sample_vs_duckdb(ray_session, con):
+    """Deterministic per-stratum sampling: keep-all / drop-all / half
+    rates reproduce the identical integer-hash predicate in SQL."""
+    got = (
+        T.stratified_sample(SF, rates={"src0": 1.0, "src1": 0.0}, default_rate=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT doc_id, lang, source, n_chars FROM docs
+         WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+               CASE source WHEN 'src0' THEN 10000
+                           WHEN 'src1' THEN 0
+                           ELSE 5000 END
+         ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    assert "src1" not in set(got["source"])           # drop-all stratum
+    n_src0 = (got["source"] == "src0").sum()
+    assert n_src0 == (want["source"] == "src0").sum() and n_src0 > 0
