@@ -114,10 +114,18 @@ def hash_grouped_aggregate(
     )
 
 
-def hash_partitioned_groups(ds, keys: list[str], partition_fn, num_partitions: int = 16):
+def hash_partitioned_groups(ds, keys: list[str], partition_fn,
+                            num_partitions: int | None = None):
     """Co-locate every key group into one of ``num_partitions`` hash
     partitions, then run ``partition_fn`` ONCE per partition over the
     whole partition table (all groups of that partition at once).
+
+    ``num_partitions=None`` (default) sizes the exchange to the cluster:
+    ``max(16, 2 x total CPUs)`` — at test scale that is the historical
+    16, on a 256-node cluster it keeps every core busy in the
+    per-partition stage.  Results are partition-count-invariant (every
+    caller's fn emits per-group output), so this is purely a
+    parallelism knob.
 
     Replacement for ``groupby(keys).map_groups(fn)`` when group count is
     large: Ray's map_groups pays per-group Python overhead (measured
@@ -127,6 +135,15 @@ def hash_partitioned_groups(ds, keys: list[str], partition_fn, num_partitions: i
     ``partition_fn`` receives a ``pa.Table`` without the ``_part``
     column and must handle multiple key groups itself.
     """
+    if num_partitions is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_partitions = max(16, 2 * cpus)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
