@@ -735,12 +735,17 @@ def _relational_oracle_sql() -> dict[str, str]:
     """Relational oracles; monetary sums in integer cents via
     floor(x*100+0.5) — identical IEEE ops on the numpy side, so sums
     are bit-exact across engines (see pipelines/relational.py)."""
-    rev = "sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))"
+    # NOTE: DuckDB sum(BIGINT) yields HUGEINT (-> float64 in pandas), so every
+    # summed output is wrapped in an outer CAST(... AS BIGINT) to match the
+    # int64 the Ray side emits (the driver's value-hash is dtype-strict).
+    rev = ("CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)"
+           " AS BIGINT)) AS BIGINT)")
     return {
         "rel_q1_pricing": f"""
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
                    {rev} AS sum_disc_cents,
                    count(*) AS count_order
               FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-09-01'
@@ -748,7 +753,8 @@ def _relational_oracle_sql() -> dict[str, str]:
         """,
         "rel_q18_big_orders": """
             WITH big AS (
-                SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
                   FROM lineitem GROUP BY 1
                 HAVING sum(CAST(l_quantity AS BIGINT)) > 200
             )
@@ -782,8 +788,8 @@ def _relational_oracle_sql() -> dict[str, str]:
              GROUP BY p_type
         """,
         "rel_q6_forecast_revenue": """
-            SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
-                                     AS BIGINT)), 0) AS revenue_cents,
+            SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                                     AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
                    count(*) AS n_lines
               FROM lineitem
              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -844,7 +850,8 @@ def _events_oracle_sql() -> dict[str, str]:
                   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
             sess AS (
                 SELECT user_id, e,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY e) - 1 AS session_id
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY e)
+                            AS BIGINT) - 1 AS session_id
                   FROM marked)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(e) AS t_start, max(e) AS t_end

@@ -43,7 +43,16 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         for col in a.columns:
             av, bv = a[col], b[col]
             try:
-                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                # Dtype-strict, like the driver's value hash: an int64 Ray
+                # column vs a float64 (HUGEINT-derived) oracle column is a
+                # FAIL even when the values coerce equal.
+                if av.dtype != bv.dtype:
+                    problems.append(
+                        f"dtype mismatch in column {col!r}: "
+                        f"ray={av.dtype} sql={bv.dtype}"
+                    )
+                    continue
+                if av.dtype.kind == "f":
                     import numpy as np
 
                     if not np.array_equal(
