@@ -56,6 +56,124 @@ def _cell_sql(res: int = DEFAULT_GRID_RES) -> str:
     )
 
 
+def _round_away_sql(x: str) -> str:
+    """Round-half-away-from-zero, same op order as gridmodel.round_away_vec."""
+    return (
+        f"(trunc({x}) + CASE WHEN abs({x} - trunc({x})) >= 0.5 "
+        f"THEN (CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) ELSE 0.0 END)"
+    )
+
+
+def _hex_cells_sql(res: int = 8, sf_dir: str = SF001) -> str:
+    """Full hex-cell oracle: identical float64 ops to cells.hex_cell_id
+    (axial binning + cube rounding), packed arithmetically — the three
+    bit fields never overlap, so ``|`` becomes ``+``."""
+    from rios_ray.cells import _HEX_OFF, _SQRT3
+
+    size = 10.0 * (7.0 ** (-res / 2.0))
+    c1 = _SQRT3 / 3.0
+    return f"""
+        WITH pts AS ({_pages_sql(sf_dir)}),
+        f AS (
+          SELECT url, ({c1!r} * lon - lat / 3.0) / {size!r} AS xf,
+                 ({(2.0 / 3.0)!r} * lat) / {size!r} AS zf
+            FROM pts
+        ), r0 AS (
+          SELECT url, xf, zf,
+                 {_round_away_sql('xf')} AS rx,
+                 {_round_away_sql('(-xf) - zf')} AS ry,
+                 {_round_away_sql('zf')} AS rz
+            FROM f
+        ), r1 AS (
+          SELECT url, rx, ry, rz,
+                 abs(rx - xf) AS dx, abs(ry - ((-xf) - zf)) AS dy,
+                 abs(rz - zf) AS dz
+            FROM r0
+        ), r2 AS (
+          SELECT url, ry, rz, dy, dz,
+                 (dx > dy AND dx > dz) AS fix_x,
+                 CASE WHEN (dx > dy AND dx > dz) THEN (-ry) - rz ELSE rx END AS rx2
+            FROM r1
+        ), r3 AS (
+          SELECT url, rx2,
+                 CASE WHEN (NOT fix_x) AND dz > dy THEN (-rx2) - ry ELSE rz END AS rz2
+            FROM r2
+        )
+        SELECT url,
+               CAST({res} AS BIGINT) * {1 << 56}
+               + (CAST(rx2 AS BIGINT) + {_HEX_OFF}) * {1 << 28}
+               + (CAST(rz2 AS BIGINT) + {_HEX_OFF}) AS hex_cell
+          FROM r3
+    """
+
+
+def _s2_spread_sql(col: str) -> str:
+    """Morton bit-spread (cells._spread_bits) via BIGINT shift/mask."""
+    e = col
+    for mask, sh in (
+        (0x0000FFFF0000FFFF, 16),
+        (0x00FF00FF00FF00FF, 8),
+        (0x0F0F0F0F0F0F0F0F, 4),
+        (0x3333333333333333, 2),
+        (0x5555555555555555, 1),
+    ):
+        e = f"(({e} | ({e} << {sh})) & {mask})"
+    return e
+
+
+def _s2_cells_sql(level: int = 12, sf_dir: str = SF001) -> str:
+    """Full s2-style-cell oracle: identical float64 ops to cells.s2_cell_id.
+
+    DuckDB's cos/sin/sqrt and numpy's float64 kernels agree bit-for-bit
+    on this platform (verified over all sf0.01 points); the quadratic
+    (u,v)->(s,t) transform and Morton interleave are recomputed natively.
+    """
+    import math
+
+    n = 1 << level
+    rad = math.pi / 180.0
+
+    def st(u: str) -> str:
+        return (
+            f"CASE WHEN {u} >= 0.0 THEN 0.5 * sqrt(greatest(1.0 + 3.0 * {u}, 0.0)) "
+            f"ELSE 1.0 - 0.5 * sqrt(greatest(1.0 - 3.0 * {u}, 0.0)) END"
+        )
+
+    return f"""
+        WITH pts AS ({_pages_sql(sf_dir)}),
+        t AS (
+          SELECT url, cos(lat * {rad!r}) * cos(lon * {rad!r}) AS x,
+                 cos(lat * {rad!r}) * sin(lon * {rad!r}) AS y,
+                 sin(lat * {rad!r}) AS z
+            FROM pts
+        ), fc AS (
+          SELECT url, x, y, z,
+            CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                 THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+                 WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+                 ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END AS face
+            FROM t
+        ), uv AS (
+          SELECT url, face,
+            CASE face WHEN 0 THEN y/x WHEN 1 THEN (-x)/y WHEN 2 THEN (-x)/z
+                      WHEN 3 THEN (-z)/x WHEN 4 THEN (-z)/y ELSE y/z END AS u,
+            CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN y/z
+                      WHEN 3 THEN y/x WHEN 4 THEN (-x)/y ELSE (-x)/z END AS v
+            FROM fc
+        ), ij AS (
+          SELECT url, face,
+            CAST(least(greatest(floor(({st('u')}) * {n}.0), 0.0), {n - 1}.0)
+                 AS BIGINT) AS i,
+            CAST(least(greatest(floor(({st('v')}) * {n}.0), 0.0), {n - 1}.0)
+                 AS BIGINT) AS j
+            FROM uv
+        )
+        SELECT url, face * {1 << (2 * level)}
+               + ({_s2_spread_sql('i')} | ({_s2_spread_sql('j')} << 1)) AS s2_cell
+          FROM ij
+    """
+
+
 def _pip_pairs_sql(sf_dir: str = SF001) -> str:
     """(url, lat, lon, poly_id) containment pairs by odd ray-crossing count.
 
@@ -452,13 +570,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_cell_category": _q_flagship,
         "knn_pages": _q_knn,
         "knn_pages_cellring": _q_knn_cellring,
-        "s2_cells": _q_s2_cells,  # rows-only (bit-level cell ids not SQL-expressible)
-        "hex_cells": _q_hex_cells,  # rows-only
+        "s2_cells": _q_s2_cells,
+        "hex_cells": _q_hex_cells,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_md5": _q_text_md5,
-        "text_winnow": _q_text_winnow,  # rows-only (winnowing hash not SQL-expressible)
+        "text_winnow": _q_text_winnow,
         "text_topk_tokens": _q_text_topk,
         "text_pii": _q_text_pii,
         "vocab_topk": _q_vocab_topk,
@@ -468,7 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
-        "dedup_simhash_pairs": _q_dedup_simhash,  # rows-only (FNV bit ops not SQL-expressible)
+        "dedup_simhash_pairs": _q_dedup_simhash,
         "flagship_resumable": _q_flagship_resumable,
         "cell_pages_capped": _q_cell_pages_capped,
         "rel_q1_pricing": _q_rel_q1,
@@ -493,6 +611,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
     }
+
+
+def _winnow_sql() -> str:
+    """Winnowing fp_size oracle (analysis.winnow_fingerprint_one).
+
+    The rolling k-gram hash is a degree-7 polynomial in the FNV prime
+    mod 2**64 — recomputed natively here as sum(byte * power) in HUGEINT
+    with precomputed power literals, then window-min + distinct-count.
+    Assumes ASCII text (char positions == byte positions; true of the
+    synthetic documents table, asserted in tests/test_text.py).
+    """
+    import numpy as np
+
+    k, w = 8, 4
+    prime = np.uint64(1099511628211)
+    powers = [int(prime ** np.uint64(k - 1 - j)) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS HUGEINT)"
+        f" * CAST({powers[j]} AS HUGEINT)"
+        for j in range(k)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        g AS (SELECT doc_id, len - {k - 1} AS n,
+                     unnest(range(0, len - {k - 1})) AS i, text
+                FROM d WHERE len >= {k}),
+        h AS (SELECT doc_id, n, i,
+                     ({terms}) % CAST({1 << 64} AS HUGEINT) AS hh FROM g),
+        wm AS (SELECT doc_id, n, i,
+                      min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                        AS wmin
+                 FROM h),
+        fp AS (
+            SELECT doc_id, CAST(count(DISTINCT wmin) AS BIGINT) AS fp_size
+              FROM wm WHERE n > {w} AND i <= n - {w} GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT) FROM d
+             WHERE len >= {k} AND (len - {k - 1}) <= {w}
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM d WHERE len < {k})
+        SELECT doc_id, fp_size FROM fp
+    """
 
 
 def _text_oracle_sql() -> dict[str, str]:
@@ -535,6 +696,7 @@ def _text_oracle_sql() -> dict[str, str]:
             SELECT doc_id, CASE WHEN m=0 THEN 'und' {lang_cases} END AS lang_pred
               FROM m
         """,
+        "text_winnow": _winnow_sql(),
         "text_topk_tokens": r"""
             SELECT doc_id, n_tokens,
                    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
@@ -698,7 +860,24 @@ def _dedup_oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=64)}",
         "dedup_minhash_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)}",
+        # Exact-Hamming brute force over a deterministic simhash sidecar
+        # (pure-numpy, no Ray — see ensure_simhash_sidecar); gates the
+        # distributed banded-pigeonhole join end to end.
+        "dedup_simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash
+                         FROM read_parquet('{_simhash_sidecar_path()}'))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
     }
+
+
+def _simhash_sidecar_path() -> str:
+    from rios_ray.pipelines.dedup import ensure_simhash_sidecar
+
+    return ensure_simhash_sidecar(SF001)
 
 
 def _embeddings_oracle_sql() -> dict[str, str]:
@@ -877,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, lat, lon, {_cell_sql()} AS cell
               FROM ({_pages_sql()})
         """,
+        "s2_cells": _s2_cells_sql(),
+        "hex_cells": _hex_cells_sql(),
         "cell_counts": f"""
             SELECT {_cell_sql()} AS cell, count(*) AS n_pages
               FROM ({_pages_sql()})

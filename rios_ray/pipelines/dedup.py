@@ -406,3 +406,34 @@ def simhash_pairs(
     return hash_grouped_aggregate(
         pairs, ["doc_a", "doc_b"], [("hamming", "min", "hamming")]
     )
+
+
+def ensure_simhash_sidecar(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> str:
+    """Deterministic (doc_id, simhash:int64) parquet for the sf dir.
+
+    No Ray involved — a pure numpy pass over the documents parquet,
+    cached under /tmp/graft_synth.  This is the independent input the
+    DuckDB exact-Hamming oracle reads to gate ``simhash_pairs``'s
+    distributed pigeonhole join (the simhash computation itself is
+    golden-tested in tests/test_dedup.py).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.documents import documents_path
+    from ..synth import PAGES_ROOT
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PAGES_ROOT, name, f"simhashes_n{ngram}.parquet")
+    if not os.path.exists(out):
+        tbl = pq.read_table(documents_path(sf_dir), columns=["doc_id", "text"])
+        hashes, offsets, _ = gram_hash_arrays(tbl["text"].to_pylist(), ngram)
+        sims = H.simhash64(hashes, offsets).view(np.int64)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({"doc_id": tbl["doc_id"], "simhash": pa.array(sims)}), tmp
+        )
+        os.replace(tmp, out)
+    return out
