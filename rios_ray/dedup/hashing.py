@@ -17,6 +17,19 @@ FNV_PRIME = np.uint64(1099511628211)
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _fnv1a64_matrix(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 over each row of a padded byte matrix (loop is over
+    byte positions, every iteration vectorized over all rows)."""
+    maxlen = buf.shape[1] if len(lens) and int(lens.max()) else 0
+    h = np.full(len(lens), FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            active = i < lens
+            hi = (h ^ buf[:, i].astype(np.uint64)) * FNV_PRIME
+            h = np.where(active, hi, h)
+    return h
+
+
 def fnv1a64(strings: list[str] | list[bytes]) -> np.ndarray:
     """FNV-1a 64-bit hash of each string, vectorized over the batch."""
     if not strings:
@@ -29,13 +42,44 @@ def fnv1a64(strings: list[str] | list[bytes]) -> np.ndarray:
         flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
         mask = np.arange(maxlen) < lens[:, None]
         buf[mask] = flat
-    h = np.full(len(enc), FNV_OFFSET, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(maxlen):
-            active = i < lens
-            hi = (h ^ buf[:, i].astype(np.uint64)) * FNV_PRIME
-            h = np.where(active, hi, h)
-    return h
+    return _fnv1a64_matrix(buf, lens)
+
+
+def fnv1a64_arrow(arr) -> np.ndarray:
+    """FNV-1a 64 over an Arrow string/binary array, fed straight from
+    the offsets/data buffers — no ``to_pylist`` / per-row Python.
+    Hash-identical to ``fnv1a64`` on the same (UTF-8) values; nulls
+    hash as empty strings."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        off_np = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        off_np = np.int64
+    else:
+        return fnv1a64([str(x) for x in arr.to_pylist()])
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_np)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = offs[1:] - offs[:-1]
+    if arr.null_count:
+        lens = np.where(arr.is_null().to_numpy(zero_copy_only=False), 0, lens)
+    maxlen = int(lens.max()) if len(lens) else 0
+    buf = np.zeros((len(lens), max(maxlen, 1)), dtype=np.uint8)
+    if maxlen:
+        mask = np.arange(maxlen) < lens[:, None]
+        idx = offs[:-1, None] + np.arange(maxlen)[None, :]
+        buf[mask] = data[idx[mask]]
+    return _fnv1a64_matrix(buf, lens)
 
 
 def minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:

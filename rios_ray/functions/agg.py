@@ -36,9 +36,9 @@ def _part_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarra
             if pa.types.is_integer(col.type):
                 v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             else:
-                from ..dedup.hashing import fnv1a64
+                from ..dedup.hashing import fnv1a64_arrow
 
-                v = fnv1a64([str(x) for x in col.to_pylist()])
+                v = fnv1a64_arrow(col)
             h = (h ^ v) * _HASH_MIX
     return (h % np.uint64(num_partitions)).astype(np.int64)
 

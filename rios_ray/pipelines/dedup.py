@@ -28,7 +28,13 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..dedup import hashing as H
-from ..dedup.shingles import DEFAULT_NGRAM, explode_grams, gram_hash_arrays
+from ..dedup.shingles import (
+    DEFAULT_NGRAM,
+    explode_grams,
+    gram_hash_arrays,
+    gram_hash_arrays_vec,
+    gram_hash_flat,
+)
 from ..sources.documents import read_documents
 from ..text.analysis import md5_fingerprint
 
@@ -138,15 +144,17 @@ def _run_pair_indices(
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def _gram_partition_pairs(df_cap: int):
+def _gram_partition_pairs(df_cap: int, key: str = "gram_h"):
     """All (doc_a, doc_b, n_a, n_b) pairs for every gram bucket in one
-    hash partition, fully vectorized (dictionary-encode the gram column
-    for exact integer bucket codes, lexsort, run scan)."""
+    hash partition, fully vectorized (integer gram-hash buckets sort
+    directly; a string gram column is dictionary-encoded first)."""
 
     def fn(tbl: pa.Table) -> pa.Table:
-        codes = (
-            tbl.column("gram").combine_chunks().dictionary_encode().indices.to_numpy()
-        )
+        col = tbl.column(key)
+        if pa.types.is_integer(col.type):
+            codes = col.to_numpy()
+        else:
+            codes = col.combine_chunks().dictionary_encode().indices.to_numpy()
         ids = tbl["doc_id"].to_numpy()
         ng = tbl["n_grams"].to_numpy()
         order = np.lexsort((ids, codes))
@@ -174,18 +182,33 @@ def jaccard_pairs(
     """(doc_a, doc_b, jaccard) for all pairs with exact word-n-gram
     Jaccard >= threshold, computed fully distributed.
 
-    docs -> explode distinct grams -> groupby(gram) pair emission
-    (df-capped) -> groupby(pair) shared-count -> jaccard filter.
+    docs -> explode distinct gram HASHES (u64 — the gram string never
+    leaves the map stage, cutting exchange bytes to 8/gram) ->
+    groupby(gram_h) pair emission (df-capped) -> groupby(pair)
+    shared-count -> jaccard filter.  Exact up to 64-bit FNV collisions
+    (P ~ g^2/2^65 over a df-capped bucket).
     """
     from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
 
+    def explode_hashed(b: pa.Table) -> pa.Table:
+        h, doc_of = gram_hash_flat(b["text"], n)
+        counts = np.bincount(doc_of, minlength=b.num_rows).astype(np.int64)
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of]),
+                "gram_h": pa.array(h.view(np.int64)),
+                "n_grams": pa.array(counts[doc_of]),
+            }
+        )
+
     grams = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        lambda b: explode_grams(b, n),
+        explode_hashed,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
-    pairs = hash_partitioned_groups(grams, ["gram"], _gram_partition_pairs(df_cap))
+    pairs = hash_partitioned_groups(grams, ["gram_h"], _gram_partition_pairs(df_cap))
 
     shared = hash_grouped_aggregate(
         pairs, ["doc_a", "doc_b", "n_a", "n_b"], [(None, "count", "shared")]
@@ -214,7 +237,7 @@ def _band_rows(num_perm: int, n_bands: int, ngram: int):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        hashes, offsets, _ = gram_hash_arrays(batch["text"].to_pylist(), ngram)
+        hashes, offsets, _ = gram_hash_arrays_vec(batch["text"], ngram)
         sig = H.minhash_signatures(hashes, offsets, a, b_)
         keys = H.band_keys(sig, n_bands)  # (n_docs, n_bands)
         n_docs = len(ids)
@@ -292,16 +315,27 @@ def _attach_texts(pairs, docs, key_col: str, out_col: str, num_partitions: int):
 
 
 def _verify_jaccard(threshold: float, ngram: int):
-    from ..dedup.shingles import doc_grams
+    """Exact per-pair Jaccard, vectorized over the whole batch: gram
+    hashes for both text columns at once, then one lexsort — a match is
+    exactly one adjacent cross-side duplicate (hashes are distinct
+    within a side per row)."""
 
     def fn(b: pa.Table) -> pa.Table:
-        ta = b["text_a"].to_pylist()
-        tb = b["text_b"].to_pylist()
-        out_j = np.empty(len(ta), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            ga, gb = set(doc_grams(x, ngram)), set(doc_grams(y, ngram))
-            inter = len(ga & gb)
-            out_j[i] = inter / (len(ga) + len(gb) - inter)
+        n = b.num_rows
+        ha, da = gram_hash_flat(b["text_a"], ngram)
+        hb, db = gram_hash_flat(b["text_b"], ngram)
+        na = np.bincount(da, minlength=n)
+        nb = np.bincount(db, minlength=n)
+        rows = np.concatenate([da, db])
+        hs = np.concatenate([ha, hb])
+        side = np.concatenate(
+            [np.zeros(len(ha), dtype=np.int8), np.ones(len(hb), dtype=np.int8)]
+        )
+        order = np.lexsort((side, hs, rows))
+        r, h, s = rows[order], hs[order], side[order]
+        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1]) & (s[1:] != s[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        out_j = inter / (na + nb - inter)
         out = pa.table(
             {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "jaccard": pa.array(out_j)}
         )
@@ -342,7 +376,7 @@ def simhashes(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> ray.data.Dataset:
     """(doc_id, simhash) — 64-bit SimHash per document."""
 
     def fn(b: pa.Table) -> pa.Table:
-        hashes, offsets, _ = gram_hash_arrays(b["text"].to_pylist(), ngram)
+        hashes, offsets, _ = gram_hash_arrays_vec(b["text"], ngram)
         sims = H.simhash64(hashes, offsets)
         return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(sims)})
 
@@ -428,6 +462,9 @@ def ensure_simhash_sidecar(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> str:
     out = os.path.join(PAGES_ROOT, name, f"simhashes_n{ngram}.parquet")
     if not os.path.exists(out):
         tbl = pq.read_table(documents_path(sf_dir), columns=["doc_id", "text"])
+        # deliberately the scalar per-doc path (not gram_hash_arrays_vec):
+        # the sidecar then independently cross-checks the vectorized
+        # pipeline's shingling, not just the pair join
         hashes, offsets, _ = gram_hash_arrays(tbl["text"].to_pylist(), ngram)
         sims = H.simhash64(hashes, offsets).view(np.int64)
         os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -281,16 +281,34 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
-    nk = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].to_pylist()))
-    nreg = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_regionkey"].to_numpy()))
-    rname = dict(zip(region["r_regionkey"].to_numpy(), region["r_name"].to_pylist()))
+    # Broadcast sorted key arrays + dense nation/region name tables —
+    # every per-batch lookup below is searchsorted / fancy-index, no
+    # per-row Python (same pattern as q14's part tagging).
+    nkey = nation["n_nationkey"].to_numpy()
+    n_max = int(nkey.max()) + 1
+    nat_names = [""] * n_max
+    for k, nm in zip(nkey, nation["n_name"].to_pylist()):
+        nat_names[int(k)] = nm
+    nat2reg = np.zeros(n_max, dtype=np.int32)
+    nat2reg[nkey] = nation["n_regionkey"].to_numpy().astype(np.int32)
+    rkey = region["r_regionkey"].to_numpy()
+    reg_names = [""] * (int(rkey.max()) + 1)
+    for k, nm in zip(rkey, region["r_name"].to_pylist()):
+        reg_names[int(k)] = nm
+
+    skeys = supp["s_suppkey"].to_numpy()
+    s_ord = np.argsort(skeys)
+    ckeys = cust["c_custkey"].to_numpy()
+    c_ord = np.argsort(ckeys)
     dims_ref = ray.put(
         (
-            dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy())),
-            dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy())),
-            nk,
-            nreg,
-            rname,
+            skeys[s_ord],
+            supp["s_nationkey"].to_numpy()[s_ord].astype(np.int32),
+            ckeys[c_ord],
+            cust["c_nationkey"].to_numpy()[c_ord].astype(np.int32),
+            nat2reg,
+            nat_names,
+            reg_names,
         )
     )
 
@@ -323,18 +341,24 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
     def tag(b: pa.Table) -> pa.Table:
-        s2n, c2n, nk_, nreg_, rname_ = ray.get(dims_ref)
+        sk_s, sn_s, ck_s, cn_s, nat2reg_, nat_names_, reg_names_ = ray.get(dims_ref)
         sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
         ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        sn = np.array([s2n.get(int(x), -1) for x in sk])
-        cn = np.array([c2n.get(int(x), -2) for x in ck])
+        sp = np.minimum(np.searchsorted(sk_s, sk), len(sk_s) - 1)
+        sn = np.where(sk_s[sp] == sk, sn_s[sp], -1).astype(np.int32)
+        cp = np.minimum(np.searchsorted(ck_s, ck), len(ck_s) - 1)
+        cn = np.where(ck_s[cp] == ck, cn_s[cp], -2).astype(np.int32)
         keep = sn == cn
         b = b.filter(pa.array(keep))
         sn = sn[keep]
         return pa.table(
             {
-                "r_name": pa.array([rname_[nreg_[n]] for n in sn], type=pa.string()),
-                "n_name": pa.array([nk_[n] for n in sn], type=pa.string()),
+                "r_name": pa.DictionaryArray.from_arrays(
+                    pa.array(nat2reg_[sn]), pa.array(reg_names_, type=pa.string())
+                ).cast(pa.string()),
+                "n_name": pa.DictionaryArray.from_arrays(
+                    pa.array(sn), pa.array(nat_names_, type=pa.string())
+                ).cast(pa.string()),
                 "rev_cents": b["rev_cents"],
             }
         )
@@ -347,7 +371,9 @@ def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q18_big_orders(sf_dir: str, min_qty: int = 200) -> ray.data.Dataset:
+def q18_big_orders(
+    sf_dir: str, min_qty: int = 200, broadcast_cap: int = 5_000_000
+) -> ray.data.Dataset:
     """Q18-style: orders whose total lineitem quantity exceeds
     ``min_qty``, with customer key and order date.
 
@@ -357,6 +383,12 @@ def q18_big_orders(sf_dir: str, min_qty: int = 200) -> ray.data.Dataset:
     map broadcast to filter/annotate the orders table — the HAVING
     result is the small side by construction (the threshold exists to
     make it selective), so the back-join is shuffle-free.
+
+    A low threshold breaks that assumption, so the survivor count is
+    checked first (cheap: ``big`` is already the aggregated exchange
+    output, materialized once); past ``broadcast_cap`` rows the
+    back-join falls back to the partitioned lookup join instead of a
+    driver-side broadcast table.
     """
     import pyarrow.compute as pc
 
@@ -378,9 +410,28 @@ def q18_big_orders(sf_dir: str, min_qty: int = 200) -> ray.data.Dataset:
     def having(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["total_qty"], min_qty))
 
-    big = per_order.map_batches(
+    big_ds = per_order.map_batches(
         having, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).to_pandas()
+    ).materialize()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    if big_ds.count() > broadcast_cap:
+        from ..functions.join import partitioned_lookup_join
+
+        return partitioned_lookup_join(
+            orders,
+            big_ds,
+            "o_orderkey",
+            "l_orderkey",
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ],
+            [("total_qty", pa.int64(), "total_qty")],
+            _join_partitions(),
+        )
+
+    big = big_ds.to_pandas()
     keys = np.sort(big["l_orderkey"].to_numpy())
     totals = big.set_index("l_orderkey")["total_qty"]
     totals_sorted = totals.loc[keys].to_numpy()
@@ -397,7 +448,6 @@ def q18_big_orders(sf_dir: str, min_qty: int = 200) -> ray.data.Dataset:
         t = tq[np.searchsorted(wanted, ok)]
         return b.append_column("total_qty", pa.array(t, type=pa.int64()))
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     return orders.map_batches(
         annotate, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
     )

@@ -280,18 +280,51 @@ class FrameSampleStage:
         self.payload_col, self.id_col = payload_col, id_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b[self.id_col].to_pylist()
-        out_id, out_idx, out_frame = [], [], []
-        for i, p in zip(ids, _payload_bytes(b[self.payload_col])):
-            n_frames = len(p) // self.frame_bytes
-            for k in range(0, n_frames, self.every):
-                out_id.append(i)
-                out_idx.append(k)
-                out_frame.append(p[k * self.frame_bytes:(k + 1) * self.frame_bytes])
+        # Fully vectorized: frame starts from the Arrow binary offsets
+        # buffer, one 2-D fancy-index gather into the concatenated data
+        # buffer — no per-row / per-frame Python.
+        col = b[self.payload_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count or len(arr) == 0:
+            arr = pa.array(_payload_bytes(arr), type=pa.large_binary())
+        if pa.types.is_binary(arr.type):
+            off_np = np.int32
+        else:
+            arr = arr.cast(pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
+            off_np = np.int64
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_np)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data_buf = arr.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        n_frames = (offs[1:] - offs[:-1]) // self.frame_bytes
+        n_samp = -(-n_frames // self.every)  # ceil-div: frames 0, every, ...
+        total = int(n_samp.sum())
+        row_of = np.repeat(np.arange(len(arr), dtype=np.int64), n_samp)
+        row_start = np.concatenate([[0], np.cumsum(n_samp)[:-1]]) if len(arr) else np.zeros(0, np.int64)
+        within = np.arange(total, dtype=np.int64) - np.repeat(row_start, n_samp)
+        frame_idx = within * self.every
+        starts = offs[:-1][row_of] + frame_idx * self.frame_bytes
+        if total:
+            flat = data[
+                starts[:, None] + np.arange(self.frame_bytes, dtype=np.int64)[None, :]
+            ].reshape(-1)
+        else:
+            flat = np.zeros(0, dtype=np.uint8)
+        out_offs = np.arange(total + 1, dtype=np.int64) * self.frame_bytes
+        frames = pa.Array.from_buffers(
+            pa.large_binary(),
+            total,
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(flat.tobytes())],
+        ).cast(pa.binary())
         return pa.table(
             {
-                self.id_col: pa.array(out_id, type=b[self.id_col].type),
-                "frame_idx": pa.array(out_idx, type=pa.int64()),
-                "frame": pa.array(out_frame, type=pa.binary()),
+                self.id_col: b[self.id_col].take(pa.array(row_of)),
+                "frame_idx": pa.array(frame_idx, type=pa.int64()),
+                "frame": frames,
             }
         )

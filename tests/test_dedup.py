@@ -156,3 +156,48 @@ def test_fnv1a_reference_vectors():
     assert got[0] == 0xCBF29CE484222325
     assert got[1] == 0xAF63DC4C8601EC8C
     assert got[2] == 0x85944171F73967E8
+
+
+def test_fnv1a_arrow_matches_scalar():
+    """Buffer-fed Arrow FNV path is hash-identical to the list path,
+    incl. empties, nulls (hash as ""), offsets after slicing, and
+    large_string."""
+    import numpy as np
+    import pyarrow as pa
+
+    vals = ["", "a", "foobar", "word gram text", "x" * 300, "émoji ✓"]
+    want = H.fnv1a64(vals)
+    assert (H.fnv1a64_arrow(pa.array(vals)) == want).all()
+    assert (H.fnv1a64_arrow(pa.array(vals, type=pa.large_string())) == want).all()
+    sliced = pa.array(["pad"] + vals).slice(1)
+    assert (H.fnv1a64_arrow(sliced) == want).all()
+    with_null = pa.array(["a", None, "b"])
+    got = H.fnv1a64_arrow(with_null)
+    assert got[1] == H.fnv1a64([""])[0]
+    assert (got[[0, 2]] == H.fnv1a64(["a", "b"])).all()
+    chunked = pa.chunked_array([["a"], ["foobar"]])
+    assert (H.fnv1a64_arrow(chunked) == H.fnv1a64(["a", "foobar"])).all()
+
+
+def test_gram_hash_flat_matches_doc_grams():
+    """Vectorized shingle hashing == per-doc doc_grams path (distinct
+    hash sets per doc), incl. short/empty/whitespace docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rios_ray.dedup.shingles import doc_grams, gram_hash_flat
+
+    texts = [
+        "",
+        "   ",
+        "one two",
+        "a b c d e a b c",
+        "x \t y\nz  w",
+        "dup dup dup dup",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    h, d = gram_hash_flat(pa.array(texts), 3)
+    for i, t in enumerate(texts):
+        want = sorted(set(H.fnv1a64(doc_grams(t, 3)).tolist()))
+        got = sorted(h[d == i].tolist())
+        assert got == want, (i, t)

@@ -136,3 +136,28 @@ def test_q6(ray_session, con):
     assert got["revenue_cents"].iloc[0] == want["revenue_cents"].iloc[0]
     assert got["n_lines"].iloc[0] == want["n_lines"].iloc[0]
     assert got["n_lines"].iloc[0] > 0
+
+
+def test_q18_fallback_join(ray_session, con):
+    """broadcast_cap=0 forces the partitioned-lookup back-join; results
+    must be identical to the broadcast path."""
+    got = (
+        R.q18_big_orders(SF, min_qty=120, broadcast_cap=0)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        WITH big AS (
+            SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+              FROM lineitem GROUP BY 1
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 120
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+          FROM orders JOIN big ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey
+    """).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["total_qty"].tolist() == want["total_qty"].tolist()
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["o_orderdate"].tolist() == want["o_orderdate"].tolist()
