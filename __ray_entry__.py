@@ -724,7 +724,7 @@ def _text_oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents
-             WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+             WHERE (((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761) % 4294967296) % 10000 <
                    CASE source WHEN 'src0' THEN 10000
                                WHEN 'src1' THEN 0
                                ELSE 5000 END
@@ -785,9 +785,10 @@ def _decontaminate_sql() -> str:
                        list_slice(string_split(text, ' '), 1, {DECON_TOKENS}),
                        ' ') AS gram
               FROM documents WHERE doc_id % {DECON_EVERY} = 0
-        )
+        ),
+        bench_ok AS (SELECT gram FROM bench WHERE gram <> '')
         SELECT d.doc_id, count(*) AS n_hits
-          FROM documents d JOIN bench b ON contains(d.text, b.gram)
+          FROM documents d JOIN bench_ok b ON contains(d.text, b.gram)
          WHERE d.doc_id % {DECON_EVERY} <> 0
          GROUP BY d.doc_id
     """

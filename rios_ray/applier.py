@@ -457,9 +457,30 @@ def _reproject_input(ti, wg, out_dir):
 
     tmp = tempfile.mkdtemp(prefix="reproject_", dir=out_dir or "/tmp")
     ds = ray.data.read_parquet(ti.path)
-    reproject_nearest(ds, ti.grid, wg).write_parquet(tmp)
+    warped = reproject_nearest(ds, ti.grid, wg)
+    # merge_tile_patches sums in float64; nearest resampling never
+    # invents values, so cast back to the SOURCE dtype (the reference
+    # warp-VRT path preserves it — imagereader.py:280-333) instead of
+    # silently promoting thematic/integer rasters to float64.
+    src_dtype = str(np.dtype(ti.dtype))
+    if src_dtype != "float64":
+        import pyarrow.compute as _pc
+
+        target = pa.list_(pa.from_numpy_dtype(np.dtype(src_dtype)))
+
+        def cast_back(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.schema.get_field_index("data"),
+                "data",
+                _pc.cast(b["data"], target, safe=False),
+            )
+
+        warped = warped.map_batches(
+            cast_back, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    warped.write_parquet(tmp)
     return TileRasterInfo(
-        path=tmp, grid=wg, nbands=ti.nbands, dtype="float64",
+        path=tmp, grid=wg, nbands=ti.nbands, dtype=src_dtype,
         nullval=ti.nullval, thematic=ti.thematic, layer_names=ti.layer_names,
     )
 
@@ -755,9 +776,34 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
     try:
         out_ds.write_parquet(scratch, partition_cols=["name"])
     except Exception as e:
-        cause = getattr(e, "cause", None)
-        if isinstance(cause, ApplierCancelledError) or "ApplierCancelledError" in str(e):
-            raise ApplierCancelledError("cancelled by progress object") from None
+        # walk the full cause chain for a real ApplierCancelledError
+        # instance (Ray wraps task errors with a .cause attribute;
+        # plain exceptions chain via __cause__/__context__) — never
+        # string-match, and never swallow genuine task errors.
+        def _chain_has_cancel(err: BaseException) -> bool:
+            stack, seen = [err], 0
+            while stack and seen < 32:
+                cur = stack.pop()
+                seen += 1
+                if isinstance(cur, ApplierCancelledError):
+                    return True
+                for nxt in (
+                    getattr(cur, "cause", None),
+                    cur.__cause__,
+                    cur.__context__,
+                ):
+                    if isinstance(nxt, BaseException) and nxt is not cur:
+                        stack.append(nxt)
+            return False
+
+        cancelled = _chain_has_cancel(e)
+        if not cancelled and progress_actor is not None:
+            try:
+                cancelled = bool(ray.get(progress_actor.state.remote())[1])
+            except Exception:  # noqa: BLE001 — actor may be gone at teardown
+                pass
+        if cancelled:
+            raise ApplierCancelledError("cancelled by progress object") from e
         raise
     finally:
         if stop_evt is not None:

@@ -43,6 +43,15 @@ def _part_of(batch: pa.Table, keys: list[str], num_partitions: int) -> np.ndarra
     return (h % np.uint64(num_partitions)).astype(np.int64)
 
 
+def cluster_partitions() -> int:
+    """Default keyed-exchange partition count: ``max(16, 2 x CPUs)`` —
+    the historical 16 at test scale, every core busy on a real cluster."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(16, 2 * cpus)
+
+
 _FINAL_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
@@ -136,14 +145,7 @@ def hash_partitioned_groups(ds, keys: list[str], partition_fn,
     column and must handle multiple key groups itself.
     """
     if num_partitions is None:
-        import ray
-
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
-        num_partitions = max(16, 2 * cpus)
+        num_partitions = cluster_partitions()
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -98,7 +98,7 @@ def sliding_counts(
 def session_windows(
     sf_dir: str,
     gap_us: int = DEFAULT_GAP_US,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Gap-based sessionization per user.
 
@@ -108,6 +108,11 @@ def session_windows(
     partition; the per-partition kernel is one sort + vectorized gap
     cumsum (no per-user Python).
     """
+
+    if num_partitions is None:
+        from ..functions.agg import cluster_partitions
+
+        num_partitions = cluster_partitions()
 
     def add_part(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -295,6 +300,77 @@ def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
     return hash_partitioned_groups(ds, ["window"], merge, num_partitions=8)
 
 
+def _user_segments(rank: np.ndarray, e: np.ndarray):
+    """(order, seg_starts, seg_ends) for per-user iteration, rows
+    sorted by (user rank, time)."""
+    order = np.lexsort((e, rank))
+    r_s = rank[order]
+    starts = np.flatnonzero(np.concatenate([[True], r_s[1:] != r_s[:-1]]))
+    ends = np.append(starts[1:], len(order))
+    return order, starts, ends
+
+
+def _asof_per_user(uid, e, eid, is_left, rank) -> pa.Table:
+    """Overflow-safe fallback for asof_last_event's composite-key path:
+    plain per-user segment loop (only runs when rank*span would wrap
+    int64, i.e. far past the documented fast-path invariant)."""
+    order, starts, ends = _user_segments(rank, e)
+    out_eid, out_uid, out_e, out_last, out_valid = [], [], [], [], []
+    for s, t in zip(starts, ends):
+        seg = order[s:t]
+        seg_left = seg[is_left[seg]]
+        re = e[seg[~is_left[seg]]]  # sorted (lexsort by e within user)
+        le = e[seg_left]
+        pos = np.searchsorted(re, le, side="right") - 1
+        valid = pos >= 0
+        last = re[np.maximum(pos, 0)] if len(re) else np.zeros(len(le), np.int64)
+        out_eid.append(eid[seg_left])
+        out_uid.append(uid[seg_left])
+        out_e.append(le)
+        out_last.append(last)
+        out_valid.append(valid if len(re) else np.zeros(len(le), bool))
+    cat = lambda xs, d: np.concatenate(xs) if xs else np.zeros(0, d)  # noqa: E731
+    valid = cat(out_valid, bool)
+    return pa.table(
+        {
+            "event_id": pa.array(cat(out_eid, np.int64)),
+            "user_id": pa.array(cat(out_uid, np.int64)),
+            "e": pa.array(cat(out_e, np.int64)),
+            "last_right_e": pa.array(
+                cat(out_last, np.int64).astype(np.int64), type=pa.int64(), mask=~valid
+            ),
+        }
+    )
+
+
+def _range_per_user(uid, e, eid, is_left, rank, radius_us: int) -> pa.Table:
+    """Overflow-safe fallback for range_join_counts (see _asof_per_user)."""
+    order, starts, ends = _user_segments(rank, e)
+    out_eid, out_uid, out_e, out_n = [], [], [], []
+    for s, t in zip(starts, ends):
+        seg = order[s:t]
+        seg_left = seg[is_left[seg]]
+        re = e[seg[~is_left[seg]]]
+        le = e[seg_left]
+        n = (
+            np.searchsorted(re, le + radius_us, side="right")
+            - np.searchsorted(re, le - radius_us, side="left")
+        ).astype(np.int64)
+        out_eid.append(eid[seg_left])
+        out_uid.append(uid[seg_left])
+        out_e.append(le)
+        out_n.append(n)
+    cat = lambda xs, d: np.concatenate(xs) if xs else np.zeros(0, d)  # noqa: E731
+    return pa.table(
+        {
+            "event_id": pa.array(cat(out_eid, np.int64)),
+            "user_id": pa.array(cat(out_uid, np.int64)),
+            "e": pa.array(cat(out_e, np.int64)),
+            "n_right": pa.array(cat(out_n, np.int64)),
+        }
+    )
+
+
 def asof_last_event(sf_dir: str, left_type: str = "click",
                     right_type: str = "error"):
     """As-of join: for every ``left_type`` event, the timestamp of the
@@ -342,6 +418,11 @@ def asof_last_event(sf_dir: str, left_type: str = "click",
         emin = int(e.min()) if len(e) else 0
         span = (int(e.max()) - emin + 2) if len(e) else 1
         _, rank = np.unique(uid, return_inverse=True)
+        max_rank = int(rank.max()) if len(rank) else 0
+        if max_rank and max_rank > (2**63 - 1) // span:
+            # composite key would wrap int64 (huge time span x many
+            # users/partition) — fall back to per-user segments
+            return _asof_per_user(uid, e, eid, is_left, rank)
         key = rank.astype(np.int64) * span + (e - emin)
         r_mask = ~is_left
         r_key = np.sort(key[r_mask])
@@ -413,6 +494,9 @@ def range_join_counts(sf_dir: str, left_type: str = "click",
         span = (int(e.max()) - emin + 2) if len(e) else 1
         _, rank = np.unique(uid, return_inverse=True)
         rank = rank.astype(np.int64)
+        max_rank = int(rank.max()) if len(rank) else 0
+        if max_rank and max_rank > (2**63 - 1) // span:
+            return _range_per_user(uid, e, eid, is_left, rank, radius_us)
         off = e - emin
         r_key = np.sort(rank[~is_left] * span + off[~is_left])
         l_rank, l_off = rank[is_left], off[is_left]

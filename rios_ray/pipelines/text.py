@@ -137,6 +137,9 @@ def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EV
         keep_bench, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     grams = [" ".join(t.split(" ")[:tokens]) for t in bench["text"]]
+    # an empty probe (empty bench doc) would match_substring('') every
+    # row and flag the whole corpus — drop them (oracle SQL mirrors)
+    grams = [g for g in grams if g]
     grams_ref = ray.put(grams)
 
     def flag(b: pa.Table) -> pa.Table:
@@ -255,8 +258,11 @@ def token_quantiles(sf_dir: str, qs: tuple = QUANTILES):
 
 # deterministic sampling: Knuth multiplicative hash of doc_id into
 # 10k buckets.  Chosen over a byte-hash because the identical integer
-# expression is computable overflow-free on BIGINT in ANSI SQL, so the
-# sample is oracle-checkable; production would swap in splitmix64.
+# expression is SQL-computable (on HUGEINT/NUMERIC(38) — the raw
+# product needs ~64+32 bits at web-scale ids), so the sample is
+# oracle-checkable; production would swap in splitmix64.  The numpy
+# side computes in uint64 after reducing doc_id mod 2^32, which is
+# congruent and overflow-free for any non-negative int64 doc_id.
 SAMPLE_MULT = 2654435761
 SAMPLE_MOD = 4294967296
 SAMPLE_BUCKETS = 10000
@@ -284,8 +290,11 @@ def stratified_sample(
     rates = dict(rates or {})
 
     def sample(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bucket = ((ids * SAMPLE_MULT) % SAMPLE_MOD) % SAMPLE_BUCKETS
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            ((ids % np.uint64(SAMPLE_MOD)) * np.uint64(SAMPLE_MULT))
+            % np.uint64(SAMPLE_MOD)
+        ).astype(np.int64) % SAMPLE_BUCKETS
         strat = b[key_col].combine_chunks().dictionary_encode()
         names = strat.dictionary.to_pylist()
         thr = np.array(

@@ -224,7 +224,7 @@ def test_stratified_sample_vs_duckdb(ray_session, con):
     )
     want = con.execute("""
         SELECT doc_id, lang, source, n_chars FROM docs
-         WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+         WHERE (((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761) % 4294967296) % 10000 <
                CASE source WHEN 'src0' THEN 10000
                            WHEN 'src1' THEN 0
                            ELSE 5000 END
