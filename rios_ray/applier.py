@@ -85,7 +85,7 @@ class ApplierControls:
     stats_ignore: dict = field(default_factory=dict)  # out name -> nullval
     calc_stats: bool = True
     thematic: dict = field(default_factory=dict)  # out name -> bool
-    resample_method: str | None = None  # "near" enables auto-resample
+    resample_method: str | None = None  # near/bilinear/average enables auto-resample
     # generic per-image override channel (reference applier.py:166-201):
     # (option, imagename) -> value, consulted before the global value
     option_overrides: dict = field(default_factory=dict)
@@ -128,9 +128,14 @@ class ApplierControls:
     def setResampleMethod(self, method):
         """Enable on-the-fly resampling of misaligned inputs onto the
         working grid (reference ``allowOverviewsGdalwarp``/warp-VRT
-        path, ``imagereader.py:280-333``); only "near" is supported."""
-        if method not in ("near", None):
-            raise ValueError("only nearest-neighbour resampling is supported")
+        path, ``imagereader.py:280-333``; method list accepted at
+        ``applier.py:745-758``): "near", "bilinear" or "average"."""
+        from .resample import RESAMPLE_METHODS
+
+        if method is not None and method not in RESAMPLE_METHODS:
+            raise ValueError(
+                f"unknown resample method {method!r}; one of {RESAMPLE_METHODS}"
+            )
         self.resample_method = method
 
     def setOptionForImagename(self, option, imagename, value):
@@ -443,30 +448,32 @@ def make_assemble_fn(user_fn, input_meta: dict, wg: PixelGrid, B_y: int, B_x: in
     return assemble
 
 
-def _reproject_input(ti, wg, out_dir):
-    """Materialize a cross-CRS input onto the working grid (warped
-    nearest via the registered axis-separable transforms) — the
-    reference's gdalwarp-VRT-per-input path (``imagereader.py:280-333``)
-    for projections, one warp per input per run."""
+def _materialize_warped(ti, wg, out_dir, method, prefix, warp):
+    """Write a warped input as a temp tile table the applier then reads
+    as a normal aligned input (the reference prepares a warp VRT once
+    per input before block reading, ``imagereader.py:280-333``).
+
+    Dtype: for "near" the warped raster is cast back to the SOURCE
+    dtype (nearest never invents values; the reference warp-VRT path
+    preserves dtype) — merge_tile_patches sums in float64 so the cast
+    is needed.  Interpolating methods (bilinear/average) stay float64,
+    matching GDAL's practical promotion for fractional results.
+    """
     import tempfile
 
     import ray.data
 
-    from .reproject import reproject_nearest
     from .sources.tileraster import TileRasterInfo
 
-    tmp = tempfile.mkdtemp(prefix="reproject_", dir=out_dir or "/tmp")
+    tmp = tempfile.mkdtemp(prefix=prefix, dir=out_dir or "/tmp")
     ds = ray.data.read_parquet(ti.path)
-    warped = reproject_nearest(ds, ti.grid, wg)
-    # merge_tile_patches sums in float64; nearest resampling never
-    # invents values, so cast back to the SOURCE dtype (the reference
-    # warp-VRT path preserves it — imagereader.py:280-333) instead of
-    # silently promoting thematic/integer rasters to float64.
+    warped = warp(ds)
     src_dtype = str(np.dtype(ti.dtype))
-    if src_dtype != "float64":
+    out_dtype = src_dtype if method == "near" else "float64"
+    if out_dtype != "float64":
         import pyarrow.compute as _pc
 
-        target = pa.list_(pa.from_numpy_dtype(np.dtype(src_dtype)))
+        target = pa.list_(pa.from_numpy_dtype(np.dtype(out_dtype)))
 
         def cast_back(b: pa.Table) -> pa.Table:
             return b.set_column(
@@ -480,29 +487,31 @@ def _reproject_input(ti, wg, out_dir):
         )
     warped.write_parquet(tmp)
     return TileRasterInfo(
-        path=tmp, grid=wg, nbands=ti.nbands, dtype=src_dtype,
+        path=tmp, grid=wg, nbands=ti.nbands, dtype=out_dtype,
         nullval=ti.nullval, thematic=ti.thematic, layer_names=ti.layer_names,
     )
 
 
-def _resample_input(ti, wg, out_dir):
-    """Materialize a misaligned input onto the working grid (nearest)
-    into a temp tile table; the applier then treats it as a normal
-    aligned input.  Mirrors the reference preparing a warp VRT once per
-    input before block reading (``imagereader.py:280-333``)."""
-    import tempfile
+def _reproject_input(ti, wg, out_dir, method="near"):
+    """Materialize a cross-CRS input onto the working grid (warped
+    resample via the registered axis-separable transforms) — the
+    reference's gdalwarp-VRT-per-input path (``imagereader.py:280-333``)
+    for projections, one warp per input per run."""
+    from .reproject import reproject_raster
 
-    import ray.data
+    return _materialize_warped(
+        ti, wg, out_dir, method, "reproject_",
+        lambda ds: reproject_raster(ds, ti.grid, wg, method=method),
+    )
 
-    from .resample import resample_nearest
-    from .sources.tileraster import TileRasterInfo
 
-    tmp = tempfile.mkdtemp(prefix="resample_", dir=out_dir or "/tmp")
-    ds = ray.data.read_parquet(ti.path)
-    resample_nearest(ds, ti.grid, wg).write_parquet(tmp)
-    return TileRasterInfo(
-        path=tmp, grid=wg, nbands=ti.nbands, dtype="float64",
-        nullval=ti.nullval, thematic=ti.thematic, layer_names=ti.layer_names,
+def _resample_input(ti, wg, out_dir, method="near"):
+    """Materialize a misaligned same-CRS input onto the working grid."""
+    from .resample import resample_grid
+
+    return _materialize_warped(
+        ti, wg, out_dir, method, "resample_",
+        lambda ds: resample_grid(ds, ti.grid, wg, method=method),
     )
 
 
@@ -690,20 +699,21 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
     # warp-VRT path)
     for name in list(inputs):
         ti = inputs[name]
+        method = controls.resample_method
         if ti.grid.projection != wg.projection:
-            if controls.resample_method != "near":
+            if method is None:
                 raise ResampleNeededError(
                     f"input {name!r} is in {ti.grid.projection}, working grid "
-                    f"is {wg.projection}; call controls.setResampleMethod('near')"
+                    f"is {wg.projection}; call controls.setResampleMethod()"
                 )
-            inputs[name] = _reproject_input(ti, wg, out_dir)
+            inputs[name] = _reproject_input(ti, wg, out_dir, method)
         elif not wg.aligned_with(ti.grid):
-            if controls.resample_method != "near":
+            if method is None:
                 raise ResampleNeededError(
                     f"input {name!r} not aligned with working grid; "
-                    "call controls.setResampleMethod('near')"
+                    "call controls.setResampleMethod()"
                 )
-            inputs[name] = _resample_input(ti, wg, out_dir)
+            inputs[name] = _resample_input(ti, wg, out_dir, method)
     wg_nrows, wg_ncols = wg.dimensions()
     m = controls.overlap
     nbx = -(-wg_ncols // B_x)

@@ -127,26 +127,25 @@ def reproject_grid(grid: PixelGrid, dst_proj: str,
     )
 
 
-def reproject_nearest(ds, in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256):
-    """Distributed warped nearest resample onto ``out_grid`` (different
-    CRS allowed).
+def reproject_raster(ds, in_grid: PixelGrid, out_grid: PixelGrid,
+                     method: str = "near", block: int = 256):
+    """Distributed warped resample onto ``out_grid`` (different CRS
+    allowed), ``method`` ∈ ``near | bilinear | average``.
 
-    Same tile-parallel shape as :func:`resample.resample_nearest` —
-    each source tile independently serves the output pixels whose
-    (transformed) centres fall inside it, disjoint patches sum-merge —
-    with the output→source coordinate mapping routed through the
-    registered per-axis transforms.  No driver-side raster work; the
-    transform closures ship with the task.
+    Same tile-parallel shape as :func:`resample.resample_grid` — each
+    source tile independently emits its additive contribution to the
+    output pixels it serves, contributions sum-merge exactly — with the
+    output→source coordinate mapping routed through the registered
+    per-axis transforms.  No driver-side raster work; the transform
+    closures ship with the task.
     """
-    from .resample import make_resample_fn
-    from .tiles import merge_tile_patches
+    from .resample import resample_grid
 
     x_fwd, y_fwd = get_transform(out_grid.projection, in_grid.projection)
-    partial = ds.map_batches(
-        make_resample_fn(in_grid, out_grid, block, x_fwd=x_fwd, y_fwd=y_fwd),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return partial.groupby(["tile_y", "tile_x", "band"]).map_groups(
-        merge_tile_patches, batch_format="pyarrow"
-    )
+    return resample_grid(ds, in_grid, out_grid, method=method, block=block,
+                         x_fwd=x_fwd, y_fwd=y_fwd)
+
+
+def reproject_nearest(ds, in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256):
+    """Warped nearest resample (see :func:`reproject_raster`)."""
+    return reproject_raster(ds, in_grid, out_grid, method="near", block=block)
