@@ -111,6 +111,31 @@ def run_bench() -> dict:
 
         return host_counts(sf_dir).count()
 
+    def minhash():
+        from rios_ray.pipelines.dedup import minhash_pairs
+
+        return minhash_pairs(sf_dir, threshold=0.5).count()
+
+    def rel_q1():
+        from rios_ray.pipelines.relational import q1_pricing_summary
+
+        return q1_pricing_summary(sf_dir).to_pandas()
+
+    def rel_q5():
+        from rios_ray.pipelines.relational import q5_nation_revenue
+
+        return q5_nation_revenue(sf_dir).to_pandas()
+
+    def sessions():
+        from rios_ray.pipelines.events import session_windows
+
+        return session_windows(sf_dir).count()
+
+    def media_frames():
+        from rios_ray.pipelines.multimodal import frame_samples
+
+        return frame_samples(sf_dir).count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "host_counts": hosts,
@@ -119,6 +144,13 @@ def run_bench() -> dict:
         "knn_pages": lambda: knn_pages(sf_dir, k=10).count(),
         "knn_cellring": lambda: knn_pages_cellring(sf_dir, k=10).count(),
         "cell_fanout_cap": capped,
+        # non-spatial coverage (dedup / relational / windows / media) so
+        # regressions there are visible per-round, not just in tests
+        "dedup_minhash": minhash,
+        "rel_q1": rel_q1,
+        "rel_q5": rel_q5,
+        "events_sessions": sessions,
+        "media_frames": media_frames,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:
