@@ -560,13 +560,14 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
     if vi.projection is not None and vi.projection != wg.projection:
         # reproject ring coordinates onto the working grid's CRS once,
         # driver-side (vector layers are the small side by contract)
-        from .reproject import get_transform
+        from .reproject import get_xy_transform
 
-        xf, yf = get_transform(vi.projection, wg.projection)
+        f = get_xy_transform(vi.projection, wg.projection)
         new_rings = []
         for ring in table["ring_xy"].to_pylist():
             r = np.asarray(ring, dtype=np.float64)
-            new_rings.append(np.stack([xf(r[:, 0]), yf(r[:, 1])], axis=1).tolist())
+            rx, ry = f(r[:, 0], r[:, 1])
+            new_rings.append(np.stack([rx, ry], axis=1).tolist())
         idx = table.schema.get_field_index("ring_xy")
         table = table.set_column(idx, "ring_xy", pa.array(new_rings))
     if vi.burn_col is not None:

@@ -12,13 +12,24 @@ a web corpus actually uses — geographic lon/lat (EPSG:4326) and Web
 Mercator (EPSG:3857) — and a registry hook for user-supplied transform
 pairs.
 
-Both supported transforms are **axis-separable and monotonic** (x
-depends only on lon, y only on lat), which is exactly the property the
-tile-parallel resample kernel (``resample.py``) needs: a source tile's
-world bounds map to output-coordinate bounds, and every output pixel
-still has exactly one containing source cell, so the disjoint-patch /
-sum-merge distribution argument is unchanged.  Non-separable CRS pairs
-would need a quad-footprint mapping instead — out of scope, raises.
+Two registry families:
+
+- **Axis-separable monotonic** (x depends only on lon, y only on lat
+  — lon/lat ↔ Web Mercator): a source tile's world bounds map to
+  output-coordinate bounds and the resample kernels use cheap
+  outer-product indexing.
+- **Joint (non-separable)** — registered via ``xy_fn(x, y) → (X, Y)``,
+  e.g. transverse Mercator / UTM where easting depends on both lon and
+  lat: the kernels switch to a densified-tile-boundary bounding box +
+  2-D meshgrid mapping.  Every output pixel still has exactly one
+  containing source cell (the transform is a function), so the
+  disjoint-patch / sum-merge distribution argument is unchanged;
+  ``average`` needs axis-aligned footprints and rejects joint pairs.
+
+The built-in UTM zone 55N entry uses the spherical Gauss–Krüger
+formulas (exact mutual inverses — right for engine testing; swap in
+the ellipsoidal series via ``register_transform`` for production
+geodesy).
 """
 
 from __future__ import annotations
@@ -56,30 +67,113 @@ def _identity(v):
     return np.asarray(v, dtype=np.float64)
 
 
-# (src, dst) -> (x_transform, y_transform); each maps src-CRS coords to
-# dst-CRS coords, vectorized over numpy arrays, monotonic increasing.
-_REGISTRY: dict[tuple[str, str], tuple] = {
+class JointTransform:
+    """Non-separable CRS transform: ``fn(x, y) -> (X, Y)`` over
+    broadcastable numpy arrays (both outputs depend on both inputs)."""
+
+    __slots__ = ("fn",)
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, x, y):
+        X, Y = self.fn(np.asarray(x, dtype=np.float64),
+                       np.asarray(y, dtype=np.float64))
+        return np.asarray(X, dtype=np.float64), np.asarray(Y, dtype=np.float64)
+
+
+def _utm_tm(lon0_deg: float, k0: float = 0.9996, false_e: float = 500000.0,
+            false_n: float = 0.0):
+    """Spherical transverse-Mercator (Gauss–Krüger) forward/inverse
+    closures for one UTM zone; exact mutual inverses on the sphere."""
+    lon0 = math.radians(lon0_deg)
+
+    def fwd(lon, lat):
+        lam = np.radians(lon) - lon0
+        phi = np.radians(lat)
+        B = np.cos(phi) * np.sin(lam)
+        x = k0 * _R * np.arctanh(B) + false_e
+        y = k0 * _R * (np.arctan2(np.tan(phi), np.cos(lam))) + false_n
+        return x, y
+
+    def inv(x, y):
+        xp = (np.asarray(x, dtype=np.float64) - false_e) / (k0 * _R)
+        yp = (np.asarray(y, dtype=np.float64) - false_n) / (k0 * _R)
+        lat = np.degrees(np.arcsin(np.sin(yp) / np.cosh(xp)))
+        lon = np.degrees(lon0 + np.arctan2(np.sinh(xp), np.cos(yp)))
+        return lon, lat
+
+    return fwd, inv
+
+
+_UTM55N_FWD, _UTM55N_INV = _utm_tm(147.0)  # zone 55: central meridian 147°E
+
+# (src, dst) -> either (x_fn, y_fn) — separable, each axis monotonic —
+# or a JointTransform; all vectorized over numpy arrays.
+_REGISTRY: dict[tuple[str, str], tuple | JointTransform] = {
     ("EPSG:4326", "EPSG:3857"): (_lon_to_x, _lat_to_y),
     ("EPSG:3857", "EPSG:4326"): (_x_to_lon, _y_to_lat),
+    ("EPSG:4326", "EPSG:32655"): JointTransform(_UTM55N_FWD),
+    ("EPSG:32655", "EPSG:4326"): JointTransform(_UTM55N_INV),
 }
 
 
-def register_transform(src: str, dst: str, x_fn, y_fn) -> None:
-    """User hook: add an axis-separable monotonic CRS transform pair."""
-    _REGISTRY[(src, dst)] = (x_fn, y_fn)
+def register_transform(src: str, dst: str, x_fn=None, y_fn=None, *,
+                       xy_fn=None) -> None:
+    """User hook: add a CRS transform.  Pass ``x_fn``/``y_fn`` for an
+    axis-separable monotonic pair, or ``xy_fn(x, y) -> (X, Y)`` for a
+    joint (non-separable) transform."""
+    if xy_fn is not None:
+        if x_fn is not None or y_fn is not None:
+            raise ValueError("pass either x_fn/y_fn or xy_fn, not both")
+        _REGISTRY[(src, dst)] = JointTransform(xy_fn)
+    elif x_fn is not None and y_fn is not None:
+        _REGISTRY[(src, dst)] = (x_fn, y_fn)
+    else:
+        raise ValueError("pass x_fn AND y_fn, or xy_fn")
 
 
-def get_transform(src: str, dst: str):
-    """(x_fn, y_fn) mapping src-CRS coords to dst-CRS coords."""
-    if src == dst:
-        return (_identity, _identity)
+def _lookup(src: str, dst: str):
     try:
         return _REGISTRY[(src, dst)]
     except KeyError:
         raise ValueError(
-            f"no registered transform {src} -> {dst}; use "
-            "register_transform() (axis-separable monotonic only)"
+            f"no registered transform {src} -> {dst}; use register_transform()"
         ) from None
+
+
+def transform_is_separable(src: str, dst: str) -> bool:
+    if src == dst:
+        return True
+    return not isinstance(_lookup(src, dst), JointTransform)
+
+
+def get_transform(src: str, dst: str):
+    """(x_fn, y_fn) mapping src-CRS coords to dst-CRS coords.  Only for
+    axis-separable pairs; joint transforms go via
+    :func:`get_xy_transform`."""
+    if src == dst:
+        return (_identity, _identity)
+    entry = _lookup(src, dst)
+    if isinstance(entry, JointTransform):
+        raise ValueError(
+            f"transform {src} -> {dst} is not axis-separable; use "
+            "get_xy_transform()"
+        )
+    return entry
+
+
+def get_xy_transform(src: str, dst: str):
+    """``fn(x, y) -> (X, Y)`` for ANY registered pair (separable pairs
+    are wrapped) — the planning/vector path, point-pair safe."""
+    if src == dst:
+        return lambda x, y: (_identity(x), _identity(y))
+    entry = _lookup(src, dst)
+    if isinstance(entry, JointTransform):
+        return entry
+    xf, yf = entry
+    return lambda x, y: (np.asarray(xf(x), dtype=np.float64),
+                         np.asarray(yf(y), dtype=np.float64))
 
 
 def densified_edge_points(grid: PixelGrid, pts: int = DENSIFY_PTS):
@@ -98,11 +192,14 @@ def reproj_resolution(grid: PixelGrid, dst_proj: str) -> tuple[float, float]:
     """Pixel size in the target CRS around the grid centre (reference
     ``imagereader.py:391-408``: transform the centre and a one-pixel
     offset, take the coordinate deltas)."""
-    xf, yf = get_transform(grid.projection, dst_proj)
+    f = get_xy_transform(grid.projection, dst_proj)
     cx = (grid.x_min + grid.x_max) / 2.0
     cy = (grid.y_min + grid.y_max) / 2.0
-    x_res = abs(float(xf(cx + grid.x_res)) - float(xf(cx)))
-    y_res = abs(float(yf(cy + grid.y_res)) - float(yf(cy)))
+    x0, y0 = f(cx, cy)
+    x1, _ = f(cx + grid.x_res, cy)
+    _, y1 = f(cx, cy + grid.y_res)
+    x_res = abs(float(x1) - float(x0))
+    y_res = abs(float(y1) - float(y0))
     return x_res, y_res
 
 
@@ -110,9 +207,9 @@ def reproject_grid(grid: PixelGrid, dst_proj: str,
                    x_res: float | None = None, y_res: float | None = None) -> PixelGrid:
     """Plan the output grid: densified-edge bbox + centre-derived
     resolution, pixel counts rounded up (``getNumPix`` semantics)."""
-    xf, yf = get_transform(grid.projection, dst_proj)
+    f = get_xy_transform(grid.projection, dst_proj)
     ex, ey = densified_edge_points(grid)
-    tx, ty = xf(ex), yf(ey)
+    tx, ty = f(ex, ey)
     if x_res is None or y_res is None:
         rx, ry = reproj_resolution(grid, dst_proj)
         x_res = x_res if x_res is not None else rx
@@ -136,14 +233,20 @@ def reproject_raster(ds, in_grid: PixelGrid, out_grid: PixelGrid,
     source tile independently emits its additive contribution to the
     output pixels it serves, contributions sum-merge exactly — with the
     output→source coordinate mapping routed through the registered
-    per-axis transforms.  No driver-side raster work; the transform
-    closures ship with the task.
+    transforms (separable fast path, or the joint 2-D path for
+    non-separable pairs like UTM).  No driver-side raster work; the
+    transform closures ship with the task.
     """
     from .resample import resample_grid
 
-    x_fwd, y_fwd = get_transform(out_grid.projection, in_grid.projection)
+    if transform_is_separable(out_grid.projection, in_grid.projection):
+        x_fwd, y_fwd = get_transform(out_grid.projection, in_grid.projection)
+        return resample_grid(ds, in_grid, out_grid, method=method, block=block,
+                             x_fwd=x_fwd, y_fwd=y_fwd)
+    xy_fwd = get_xy_transform(out_grid.projection, in_grid.projection)
+    xy_inv = get_xy_transform(in_grid.projection, out_grid.projection)
     return resample_grid(ds, in_grid, out_grid, method=method, block=block,
-                         x_fwd=x_fwd, y_fwd=y_fwd)
+                         xy_fwd=xy_fwd, xy_inv=xy_inv)
 
 
 def reproject_nearest(ds, in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256):

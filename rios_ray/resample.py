@@ -120,6 +120,45 @@ def _iter_tiles(b: pa.Table):
                flat[offsets[i]: offsets[i + 1]].reshape(nr, nc))
 
 
+def _tile_out_bbox(in_grid: PixelGrid, top: int, left: int, nr: int, nc: int,
+                   xy_inv, pad: float = 0.0, pts: int = 25):
+    """(x_lo, x_hi, y_lo, y_hi) in OUTPUT-CRS coords of a source-tile
+    world rectangle (widened by ``pad``), from densified boundary
+    points mapped through the joint inverse — the same
+    boundary-extrema argument as the reference's densified-edge grid
+    planning (``pixelgrid.py:295-312``); the kernels' exact per-pixel
+    ownership mask re-filters, so the bbox only needs to cover."""
+    y_hi = in_grid.y_max - top * in_grid.y_res + pad
+    y_lo = in_grid.y_max - (top + nr) * in_grid.y_res - pad
+    x_lo = in_grid.x_min + left * in_grid.x_res - pad
+    x_hi = in_grid.x_min + (left + nc) * in_grid.x_res + pad
+    t = np.linspace(0.0, 1.0, pts)
+    xs = x_lo + t * (x_hi - x_lo)
+    ys = y_lo + t * (y_hi - y_lo)
+    ex = np.concatenate([xs, xs, np.full(pts, x_lo), np.full(pts, x_hi)])
+    ey = np.concatenate([np.full(pts, y_lo), np.full(pts, y_hi), ys, ys])
+    X, Y = xy_inv(ex, ey)
+    return float(X.min()), float(X.max()), float(Y.min()), float(Y.max())
+
+
+def _joint_candidates(out_grid: PixelGrid, out_nrows: int, out_ncols: int,
+                      bbox, xy_fwd):
+    """Candidate output rows/cols for a bbox plus their centers mapped
+    to the input CRS as 2-D (nrr x ncc) arrays."""
+    x0, x1, y0, y1 = bbox
+    rr = _out_index_range(y0, y1, out_grid.y_max, out_grid.y_res,
+                          out_nrows, descending=True)
+    cc = _out_index_range(x0, x1, out_grid.x_min, out_grid.x_res,
+                          out_ncols, descending=False)
+    if not len(rr) or not len(cc):
+        return rr, cc, None, None
+    y_out = out_grid.y_max - (rr + 0.5) * out_grid.y_res
+    x_out = out_grid.x_min + (cc + 0.5) * out_grid.x_res
+    X, Y = xy_fwd(x_out[None, :], y_out[:, None])
+    X, Y = np.broadcast_arrays(X, Y)  # normalize axis-only transforms
+    return rr, cc, X, Y
+
+
 def _resolve_inverse(in_grid: PixelGrid, out_grid: PixelGrid,
                      x_fwd, y_fwd, x_inv, y_inv):
     """Fill in the input→output direction from the registry when the
@@ -135,15 +174,55 @@ def _resolve_inverse(in_grid: PixelGrid, out_grid: PixelGrid,
 
 
 def make_resample_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
-                     x_fwd=None, y_fwd=None, x_inv=None, y_inv=None):
+                     x_fwd=None, y_fwd=None, x_inv=None, y_inv=None,
+                     xy_fwd=None, xy_inv=None):
     """Per-batch kernel: input tile rows -> output-tile-keyed patches.
 
     ``x_fwd``/``y_fwd`` map OUTPUT-grid world coords into the input
     grid's CRS (``x_inv``/``y_inv`` the reverse); monotonic-increasing
     and axis-separable (see reproject.py).  Identity (None) keeps the
     same-CRS path bit-exact — no transform is applied at all.
+
+    ``xy_fwd``/``xy_inv`` instead select the JOINT (non-separable) path
+    for CRS pairs like UTM: candidate range from a densified tile
+    boundary bbox, containing-cell indices from the 2-D mapped center
+    meshgrid, per-pixel ownership mask (disjoint across tiles since the
+    transform is a function — non-owned positions emit 0, which is
+    neutral under sum-merge).
     """
     out_nrows, out_ncols = out_grid.dimensions()
+    if xy_fwd is not None:
+        if xy_inv is None:
+            raise ValueError("joint path needs both xy_fwd and xy_inv")
+
+        def fn_joint(b: pa.Table) -> pa.Table:
+            out_rows: list[dict] = []
+            for top, left, nr, nc, band, tile in _iter_tiles(b):
+                bbox = _tile_out_bbox(in_grid, top, left, nr, nc, xy_inv)
+                rr, cc, X, Y = _joint_candidates(
+                    out_grid, out_nrows, out_ncols, bbox, xy_fwd)
+                if X is None:
+                    continue
+                src_r = np.floor(
+                    (in_grid.y_max - Y) / in_grid.y_res).astype(np.int64)
+                src_c = np.floor(
+                    (X - in_grid.x_min) / in_grid.x_res).astype(np.int64)
+                own = ((src_r >= top) & (src_r < top + nr)
+                       & (src_c >= left) & (src_c < left + nc))
+                if not own.any():
+                    continue
+                rk, ck = own.any(axis=1), own.any(axis=0)
+                rr, cc = rr[rk], cc[ck]
+                own = own[np.ix_(rk, ck)]
+                src_r, src_c = src_r[np.ix_(rk, ck)], src_c[np.ix_(rk, ck)]
+                vals = np.zeros(own.shape, dtype=np.float64)
+                vals[own] = tile[src_r[own] - top, src_c[own] - left]
+                _emit_patches(out_rows, rr, cc, vals, band, block,
+                              out_nrows, out_ncols)
+            return pa.Table.from_pylist(out_rows, schema=TILE_SCHEMA)
+
+        return fn_joint
+
     x_inv, y_inv = _resolve_inverse(in_grid, out_grid, x_fwd, y_fwd, x_inv, y_inv)
 
     def fn(b: pa.Table) -> pa.Table:
@@ -196,7 +275,8 @@ def make_resample_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
 
 
 def make_bilinear_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
-                     x_fwd=None, y_fwd=None, x_inv=None, y_inv=None):
+                     x_fwd=None, y_fwd=None, x_inv=None, y_inv=None,
+                     xy_fwd=None, xy_inv=None):
     """Per-batch bilinear kernel: input tile rows → output-tile-keyed
     PARTIAL-SUM patches (exact under sum-merge).
 
@@ -209,9 +289,59 @@ def make_bilinear_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
     4 neighbor source pixels lives in exactly one tile, so every tile
     emits the terms whose neighbor pixel it owns and the group sum
     reassembles the exact interpolation.
+
+    ``xy_fwd``/``xy_inv`` select the joint (non-separable) 2-D path —
+    same term-ownership decomposition with per-pixel masks.
     """
     out_nrows, out_ncols = out_grid.dimensions()
     in_nrows, in_ncols = in_grid.dimensions()
+    if xy_fwd is not None:
+        if xy_inv is None:
+            raise ValueError("joint path needs both xy_fwd and xy_inv")
+        pad = max(in_grid.x_res, in_grid.y_res)
+
+        def fn_joint(b: pa.Table) -> pa.Table:
+            out_rows: list[dict] = []
+            for top, left, nr, nc, band, tile in _iter_tiles(b):
+                bbox = _tile_out_bbox(in_grid, top, left, nr, nc, xy_inv,
+                                      pad=pad)
+                rr, cc, X, Y = _joint_candidates(
+                    out_grid, out_nrows, out_ncols, bbox, xy_fwd)
+                if X is None:
+                    continue
+                ext = ((Y <= in_grid.y_max) & (Y >= in_grid.y_min)
+                       & (X >= in_grid.x_min) & (X <= in_grid.x_max))
+                if not ext.any():
+                    continue
+                fr = np.clip((in_grid.y_max - Y) / in_grid.y_res - 0.5,
+                             0.0, in_nrows - 1.0)
+                fc = np.clip((X - in_grid.x_min) / in_grid.x_res - 0.5,
+                             0.0, in_ncols - 1.0)
+                r0 = np.clip(np.floor(fr).astype(np.int64), 0,
+                             max(in_nrows - 2, 0))
+                c0 = np.clip(np.floor(fc).astype(np.int64), 0,
+                             max(in_ncols - 2, 0))
+                wr, wc = fr - r0, fc - c0
+                acc = np.zeros(ext.shape, dtype=np.float64)
+                touched = np.zeros(ext.shape, dtype=bool)
+                for rs, rw in ((r0, 1.0 - wr), (r0 + 1, wr)):
+                    for cs, cw in ((c0, 1.0 - wc), (c0 + 1, wc)):
+                        m = (ext & (rs >= top) & (rs < top + nr)
+                             & (cs >= left) & (cs < left + nc))
+                        if m.any():
+                            acc[m] += (rw[m] * cw[m]) * tile[rs[m] - top,
+                                                             cs[m] - left]
+                            touched |= m
+                if not touched.any():
+                    continue
+                rk, ck = touched.any(axis=1), touched.any(axis=0)
+                _emit_patches(out_rows, rr[rk], cc[ck],
+                              acc[np.ix_(rk, ck)], band, block,
+                              out_nrows, out_ncols)
+            return pa.Table.from_pylist(out_rows, schema=TILE_SCHEMA)
+
+        return fn_joint
+
     x_inv, y_inv = _resolve_inverse(in_grid, out_grid, x_fwd, y_fwd, x_inv, y_inv)
 
     def fn(b: pa.Table) -> pa.Table:
@@ -288,7 +418,8 @@ def make_bilinear_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
 
 
 def make_average_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
-                    x_fwd=None, y_fwd=None, x_inv=None, y_inv=None):
+                    x_fwd=None, y_fwd=None, x_inv=None, y_inv=None,
+                    xy_fwd=None, xy_inv=None):
     """Per-batch average-resample kernel: input tile rows →
     output-tile-keyed PARTIAL-MEAN patches (exact under sum-merge).
 
@@ -305,6 +436,10 @@ def make_average_fn(in_grid: PixelGrid, out_grid: PixelGrid, block: int = 256,
     local rectangles sum to the exact mean — and exactly one tile (the
     owner of the containing cell) emits each fallback pixel.
     """
+    if xy_fwd is not None or xy_inv is not None:
+        raise ValueError(
+            "average resampling requires an axis-separable transform"
+        )
     out_nrows, out_ncols = out_grid.dimensions()
     in_nrows, in_ncols = in_grid.dimensions()
     x_inv, y_inv = _resolve_inverse(in_grid, out_grid, x_fwd, y_fwd, x_inv, y_inv)
@@ -415,12 +550,14 @@ RESAMPLE_METHODS = tuple(_KERNELS)
 
 def resample_grid(ds, in_grid: PixelGrid, out_grid: PixelGrid,
                   method: str = "near", block: int = 256,
-                  x_fwd=None, y_fwd=None):
+                  x_fwd=None, y_fwd=None, xy_fwd=None, xy_inv=None):
     """Tile-keyed raster Dataset → resampled Dataset on ``out_grid``
     (additive disjoint contributions; sum-merge assembles blocks).
     ``method`` ∈ ``near | bilinear | average`` (reference accepts any
     GDAL method via ``applier.py:745-758``; these are the three a
-    web-corpus raster bridge actually uses)."""
+    web-corpus raster bridge actually uses).  ``xy_fwd``/``xy_inv``
+    route through a joint non-separable transform (near/bilinear only —
+    average's exact count formula needs axis-aligned footprints)."""
     from .tiles import merge_tile_patches
 
     try:
@@ -429,8 +566,14 @@ def resample_grid(ds, in_grid: PixelGrid, out_grid: PixelGrid,
         raise ValueError(
             f"unknown resample method {method!r}; one of {RESAMPLE_METHODS}"
         ) from None
+    if xy_fwd is not None and method == "average":
+        raise ValueError(
+            "average resampling requires an axis-separable transform "
+            "(joint/non-separable CRS pairs support near and bilinear)"
+        )
     partial = ds.map_batches(
-        make_fn(in_grid, out_grid, block, x_fwd=x_fwd, y_fwd=y_fwd),
+        make_fn(in_grid, out_grid, block, x_fwd=x_fwd, y_fwd=y_fwd,
+                xy_fwd=xy_fwd, xy_inv=xy_inv),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -126,6 +126,150 @@ def test_applier_cross_crs_input(ray_session, tmp_path):
     assert np.array_equal(got, want)
 
 
+# ---------------------------------------------------------------------------
+# UTM (joint, non-separable transverse Mercator) — proves the registry
+# generalizes beyond per-axis transforms (EPSG:32655 = UTM zone 55N)
+
+# 0.01-degree geographic grid inside zone 55 (147°E central meridian)
+GEO_GRID_55 = PixelGrid(145.0, 148.0, 36.0, 38.0, 0.01, 0.01, "EPSG:4326")
+
+
+def test_utm_round_trip():
+    rng = np.random.default_rng(99)
+    lon = rng.uniform(141.0, 153.0, 2000)
+    lat = rng.uniform(0.5, 80.0, 2000)
+    fwd = RP.get_xy_transform("EPSG:4326", "EPSG:32655")
+    inv = RP.get_xy_transform("EPSG:32655", "EPSG:4326")
+    x, y = fwd(lon, lat)
+    lon2, lat2 = inv(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # anchors: the central meridian maps to the false easting, northing
+    # grows with latitude
+    x0, y0 = fwd(np.array([147.0]), np.array([10.0]))
+    assert abs(float(x0[0]) - 500000.0) < 1e-6
+    x1, y1 = fwd(np.array([147.0]), np.array([20.0]))
+    assert float(y1[0]) > float(y0[0]) > 0.0
+    # easting depends on latitude off the meridian => NOT separable
+    xa, _ = fwd(np.array([148.0]), np.array([10.0]))
+    xb, _ = fwd(np.array([148.0]), np.array([60.0]))
+    assert abs(float(xa[0]) - float(xb[0])) > 1000.0
+    assert not RP.transform_is_separable("EPSG:4326", "EPSG:32655")
+    with pytest.raises(ValueError, match="not axis-separable"):
+        RP.get_transform("EPSG:4326", "EPSG:32655")
+
+
+def _golden_warp_joint(arr, ing, outg, fill_nearest=False):
+    """Whole-image warped resample through the JOINT transform:
+    transform the full meshgrid of output centres, take the containing
+    source cell (or bilinear weights), fill 0 outside."""
+    f = RP.get_xy_transform(outg.projection, ing.projection)
+    onr, onc = outg.dimensions()
+    y = outg.y_max - (np.arange(onr) + 0.5) * outg.y_res
+    x = outg.x_min + (np.arange(onc) + 0.5) * outg.x_res
+    X, Y = f(x[None, :].repeat(onr, 0), y[:, None].repeat(onc, 1))
+    sr = np.floor((ing.y_max - Y) / ing.y_res).astype(np.int64)
+    sc = np.floor((X - ing.x_min) / ing.x_res).astype(np.int64)
+    out = np.zeros((onr, onc), dtype=np.float64)
+    m = (sr >= 0) & (sr < arr.shape[0]) & (sc >= 0) & (sc < arr.shape[1])
+    out[m] = arr[sr[m], sc[m]]
+    return out
+
+
+def _golden_bilinear_joint(arr, ing, outg):
+    f = RP.get_xy_transform(outg.projection, ing.projection)
+    onr, onc = outg.dimensions()
+    y = outg.y_max - (np.arange(onr) + 0.5) * outg.y_res
+    x = outg.x_min + (np.arange(onc) + 0.5) * outg.x_res
+    X, Y = f(x[None, :].repeat(onr, 0), y[:, None].repeat(onc, 1))
+    ext = ((Y <= ing.y_max) & (Y >= ing.y_min)
+           & (X >= ing.x_min) & (X <= ing.x_max))
+    fr = np.clip((ing.y_max - Y) / ing.y_res - 0.5, 0.0, arr.shape[0] - 1.0)
+    fc = np.clip((X - ing.x_min) / ing.x_res - 0.5, 0.0, arr.shape[1] - 1.0)
+    r0 = np.clip(np.floor(fr).astype(np.int64), 0, arr.shape[0] - 2)
+    c0 = np.clip(np.floor(fc).astype(np.int64), 0, arr.shape[1] - 2)
+    wr, wc = fr - r0, fc - c0
+    v = ((1 - wr) * (1 - wc) * arr[r0, c0]
+         + (1 - wr) * wc * arr[r0, c0 + 1]
+         + wr * (1 - wc) * arr[r0 + 1, c0]
+         + wr * wc * arr[r0 + 1, c0 + 1])
+    out = np.zeros((onr, onc), dtype=np.float64)
+    out[ext] = v[ext]
+    return out
+
+
+def _run_joint(arr, ing, outg, method):
+    t = raster_to_tile_table(arr, block=64)
+    ds = ray.data.from_arrow(t)
+    res = RP.reproject_raster(ds, ing, outg, method=method, block=128).to_pandas()
+    onr, onc = outg.dimensions()
+    got = np.zeros((onr, onc), dtype=np.float64)
+    for _, row in res.iterrows():
+        d = np.asarray(row["data"], dtype=np.float64).reshape(row["nrows"], row["ncols"])
+        got[row["top"]: row["top"] + row["nrows"],
+            row["left"]: row["left"] + row["ncols"]] = d
+    return got
+
+
+def test_reproject_utm_nearest_matches_golden(ray_session):
+    outg = RP.reproject_grid(GEO_GRID_55, "EPSG:32655")
+    ramp = synth.gen_ramp_array().astype(np.float64)
+    arr = np.resize(ramp, GEO_GRID_55.dimensions()).astype(np.float64)
+    got = _run_joint(arr, GEO_GRID_55, outg, "near")
+    want = _golden_warp_joint(arr, GEO_GRID_55, outg)
+    assert np.array_equal(got, want)
+    assert (got != 0).any()
+
+
+def test_reproject_utm_bilinear_matches_golden(ray_session):
+    rng = np.random.default_rng(4242)
+    arr = rng.uniform(-50.0, 50.0, GEO_GRID_55.dimensions())
+    outg = RP.reproject_grid(GEO_GRID_55, "EPSG:32655")
+    got = _run_joint(arr, GEO_GRID_55, outg, "bilinear")
+    want = _golden_bilinear_joint(arr, GEO_GRID_55, outg)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+
+
+def test_utm_average_rejected(ray_session):
+    with pytest.raises(ValueError, match="axis-separable"):
+        outg = RP.reproject_grid(GEO_GRID_55, "EPSG:32655")
+        RP.reproject_raster(None, GEO_GRID_55, outg, method="average")
+
+
+def test_applier_cross_crs_utm_input(ray_session, tmp_path):
+    """E2E: a 4326 input onto a UTM 55N working grid via
+    setResampleMethod('near') — the joint-transform testreproj case."""
+    from rios_ray.applier import ApplierControls, apply
+    from rios_ray.sources.tileraster import TileRasterInfo, write_tile_raster
+
+    nr, nc = GEO_GRID_55.dimensions()
+    rng = np.random.default_rng(77)
+    arr = rng.uniform(0.0, 100.0, (nr, nc))
+    src = write_tile_raster(
+        str(tmp_path / "geo55.parquet"), raster_to_tile_table(arr),
+        GEO_GRID_55, 1, np.float64
+    )
+    wg = RP.reproject_grid(GEO_GRID_55, "EPSG:32655")
+
+    def copy_fn(info, inputs, outputs):
+        outputs.out = inputs.img
+
+    controls = ApplierControls()
+    controls.setReferencePixgrid(wg)
+    controls.setCalcStats(False)
+    controls.setResampleMethod("near")
+    out_path = str(tmp_path / "utm.parquet")
+    apply(copy_fn, {"img": src}, {"out": out_path}, controls=controls,
+          out_dir=str(tmp_path))
+
+    import pyarrow.parquet as pq
+    TileRasterInfo.read(out_path)
+    onr, onc = wg.dimensions()
+    got = synth.tile_table_to_raster(pq.read_table(out_path), 1, onr, onc, np.float64)[0]
+    want = _golden_warp_joint(arr, GEO_GRID_55, wg)
+    assert np.array_equal(got, want)
+
+
 def test_vector_input_reprojection(ray_session, tmp_path):
     """A polygon layer given in EPSG:3857 burns the same mask as the
     identical layer pre-transformed to the grid's EPSG:4326 (testvector
