@@ -19,10 +19,11 @@ Scale strategy (the design constraint, per BASELINE north rule):
   full normalized matrix — the O(n^2) *baseline*, correct at any scale
   where one side fits a worker (it is the verify kernel, not the scan).
 - near-dup LSH (`cosine_neardup_lsh`): the scale path — random
-  hyperplane signatures, banded like MinHash; band buckets shuffle tiny
-  (band, key, vec_id, embedding) rows and pairs are verified with the
-  exact cosine inside the bucket, so output == exact wherever recall
-  is 1.  Default 16 bands x 8 bits: per-hyperplane agreement for a
+  hyperplane signatures, banded like MinHash; the band exchange moves
+  only 20-byte (band, key, vec_id) rows, candidate pairs are deduped
+  across bands, and the exact-cosine verify attaches each normalized
+  vector ONCE per lookup-join exchange (not once per band row), so
+  output == exact wherever recall is 1.  Default 16 bands x 8 bits: per-hyperplane agreement for a
   cosine-c pair is p = 1 - acos(c)/pi, so a 0.96-cosine pair
   (p=0.91, band hit p^8=0.47) is missed with probability
   (1-0.47)^16 ~= 4e-5; pairs hovering near threshold 0.8 (p=0.80)
@@ -328,6 +329,7 @@ def cosine_neardup_lsh(
     nbits = n_bands * band_bits
     planes = _hyperplanes(EMB_DIM, nbits)
     pref = ray.put(planes)
+    emb_t = pa.list_(pa.float64(), EMB_DIM)
 
     class BandRows:
         def __init__(self):
@@ -341,19 +343,15 @@ def cosine_neardup_lsh(
             weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
             keys = (by * weights).sum(axis=2)  # (n, n_bands)
             n = len(ids)
-            flat = pa.FixedSizeListArray.from_arrays(
-                pa.array(np.repeat(mat, n_bands, axis=0).ravel()), mat.shape[1]
-            )
             return pa.table(
                 {
                     "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
                     "key": pa.array(keys.ravel()),
                     "vec_id": pa.array(np.repeat(ids, n_bands)),
-                    "emb_n": flat,
                 }
             )
 
-    def verify(tbl: pa.Table) -> pa.Table:
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
         # all (band, key) buckets of one hash partition at once
         # (a vec emits one row per band, so buckets hold distinct ids)
         band = tbl["band"].to_numpy()
@@ -361,20 +359,13 @@ def cosine_neardup_lsh(
         ids = tbl["vec_id"].to_numpy()
         order = np.lexsort((ids, key, band))
         band_s, key_s, ids_s = band[order], key[order], ids[order]
-        mat = batch_matrix(tbl["emb_n"])[order]
         new = np.concatenate(
             [[True], (band_s[1:] != band_s[:-1]) | (key_s[1:] != key_s[:-1])]
         )
         from .dedup import _run_pair_indices
 
         ia, ib = _run_pair_indices(new)
-        if len(ia) == 0:
-            return pa.table(
-                {"vec_a": pa.array([], type=pa.int64()), "vec_b": pa.array([], type=pa.int64())}
-            )
-        cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
-        ok = cos >= threshold
-        return pa.table({"vec_a": pa.array(ids_s[ia][ok]), "vec_b": pa.array(ids_s[ib][ok])})
+        return pa.table({"vec_a": pa.array(ids_s[ia]), "vec_b": pa.array(ids_s[ib])})
 
     bands = neardup_corpus(sf_dir).map_batches(
         BandRows,
@@ -383,11 +374,63 @@ def cosine_neardup_lsh(
         batch_size=BATCH_SIZE,
         concurrency=default_pool(),
     )
-    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+    from ..functions.agg import (
+        cluster_partitions,
+        hash_grouped_aggregate,
+        hash_partitioned_groups,
+    )
+    from ..functions.join import partitioned_lookup_join
 
-    pairs = hash_partitioned_groups(bands, ["band", "key"], verify)
-    # a pair can collide in several bands — dedupe (vectorized aggregate)
-
-    return hash_grouped_aggregate(
-        pairs, ["vec_a", "vec_b"], [(None, "count", "_nb")]
+    cand = hash_partitioned_groups(bands, ["band", "key"], bucket_pairs)
+    # a pair can collide in several bands — dedupe BEFORE verifying so
+    # each pair is scored once (vectorized aggregate)
+    cand = hash_grouped_aggregate(
+        cand, ["vec_a", "vec_b"], [(None, "count", "_nb")]
     ).drop_columns(["_nb"])
+
+    # exact-cosine verify via partitioned lookup joins: each normalized
+    # vector ships ONCE per join exchange (keyed by vec_id), not once
+    # per band row — the band exchange above moves only 20-byte rows
+    def norm_rows(b: pa.Table) -> pa.Table:
+        mat = _normalize(batch_matrix(b["embedding"]))
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "emb_n": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel()), mat.shape[1]
+                ),
+            }
+        )
+
+    def emb_side():
+        return neardup_corpus(sf_dir).map_batches(
+            norm_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH_SIZE,
+        )
+
+    num_parts = cluster_partitions()
+    with_a = partitioned_lookup_join(
+        cand, emb_side(), "vec_a", "vec_id",
+        [("vec_a", pa.int64()), ("vec_b", pa.int64())],
+        [("emb_n", emb_t, "emb_a")], num_parts,
+    )
+    with_b = partitioned_lookup_join(
+        with_a, emb_side(), "vec_b", "vec_id",
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("emb_a", emb_t)],
+        [("emb_n", emb_t, "emb_b")], num_parts,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], type=pa.int64()),
+                 "vec_b": pa.array([], type=pa.int64())}
+            )
+        cos = np.einsum(
+            "ij,ij->i", batch_matrix(b["emb_a"]), batch_matrix(b["emb_b"])
+        )
+        return b.select(["vec_a", "vec_b"]).filter(pa.array(cos >= threshold))
+
+    return with_b.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
