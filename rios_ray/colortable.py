@@ -22,7 +22,12 @@ def _blend(lo: float, hi: float, n: int) -> np.ndarray:
 
 
 def gen_color_table(num_entries: int, colortype: str, seed: int = 42) -> np.ndarray:
-    """(num_entries, 4) uint8 RGBA array (reference rat.py:443-464)."""
+    """(num_entries, 4) uint8 RGBA array (reference rat.py:443-464).
+
+    "rainbow"/"gray"/"random" keep the rat.py generator semantics; any
+    other name resolves through the color-ramp registry
+    (:mod:`rios_ray.colorramps` — the reference colortable.py
+    colorbrewer set plus user ramps)."""
     ct = np.zeros((num_entries, 4), dtype=np.uint8)
     if colortype == "rainbow":
         mid = num_entries // 2
@@ -37,7 +42,9 @@ def gen_color_table(num_entries: int, colortype: str, seed: int = 42) -> np.ndar
         rng = np.random.default_rng(seed)
         ct[:, :3] = rng.integers(0, 256, size=(num_entries, 3), dtype=np.uint8)
     else:
-        raise ValueError(f"unknown colortype {colortype!r}")
+        from .colorramps import gen_ramp_table
+
+        return gen_ramp_table(num_entries, colortype, seed=seed)
     ct[:, 3] = 255
     return ct
 
