@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import copy
 import os
+import shutil
 
 from ray import cloudpickle as pickle
 from dataclasses import dataclass, field
@@ -72,8 +73,14 @@ class ApplierCancelledError(RuntimeError):
 
 @dataclass
 class ApplierControls:
-    """Engine config (the essential subset of the reference's ~40
-    setters, ``applier.py:59-858``), with the same setter names."""
+    """Engine config mirroring the reference's controls surface
+    (``applier.py:59-858``), with the same setter names.  Per-image
+    variants (``imagename`` last arg) store through the generic
+    override channel; ``getOptionForImagename`` resolves override →
+    global.  Setters whose GDAL concept collapses under Ray
+    (concurrency style, gdalwarp overview use, single-pass toggles)
+    accept and record their value so reference scripts run unchanged —
+    each documents what the engine does instead."""
 
     window_xsize: int = DEFAULT_BLOCK_XSIZE
     window_ysize: int = DEFAULT_BLOCK_YSIZE
@@ -83,20 +90,65 @@ class ApplierControls:
     ref_pixgrid: PixelGrid | None = None
     selected_layers: dict = field(default_factory=dict)  # name -> [band,...]
     stats_ignore: dict = field(default_factory=dict)  # out name -> nullval
+    stats_ignore_default: float | None = None  # global fallback
     calc_stats: bool = True
     thematic: dict = field(default_factory=dict)  # out name -> bool
+    thematic_default: bool = False  # global fallback
     resample_method: str | None = None  # near/bilinear/average enables auto-resample
     # generic per-image override channel (reference applier.py:166-201):
     # (option, imagename) -> value, consulted before the global value
     option_overrides: dict = field(default_factory=dict)
     progress: object | None = None  # duck-typed: setProgress(pct), wasCancelled()
     before_close_hooks: list = field(default_factory=list)  # (func, args)
+    # --- extent / planning ---
+    files_for_extent: list | None = None  # subset of inputs that fold the footprint
+    tempdir: str | None = None  # default out_dir / scratch parent
+    # --- per-input reads ---
+    input_nodata: float | None = None  # override input nullval for null-fill
+    # --- output writing ---
+    output_driver: str = "parquet"  # the engine's only storage driver
+    creation_options: dict | None = None  # parquet writer args (compression, ...)
+    layer_names: list | None = None  # output band names -> manifest
+    # --- stats / pyramids at close ---
+    omit_basic_stats: bool = False
+    omit_histogram: bool = False
+    omit_pyramids: bool = False  # reference builds overviews by default
+    overview_levels: list | None = None
+    overview_min_dim: int = 33  # reference DEFAULT_MINOVERVIEWDIM
+    overview_agg_type: str = "NEAREST"
+    approx_stats: bool = False  # sampled stats (reference approxStats)
+    auto_color_table_type: str | None = None  # ramp name for thematic outputs
+    # --- vector rasterization (per vector name via overrides) ---
+    burn_value: int = 1
+    burn_attribute: str | None = None
+    vector_null: int = 0  # background value of the burned mask
+    filter_sql: str | None = None  # DuckDB WHERE clause on the layer
+    alltouched: bool = False  # only the pixel-center rule is implemented
+    vector_datatype: str = "int32"
+    vector_layer: int = 0
+    # --- accepted-and-recorded (collapse under Ray; see setters) ---
+    concurrency_style: object | None = None
+    job_name: str | None = None
+    allow_overviews_gdalwarp: bool = False
+    single_pass_pyramids: bool | None = None
+    single_pass_basic_stats: bool | None = None
+    single_pass_histogram: bool | None = None
+
+    def _set(self, attr, value, imagename=None):
+        if imagename is None:
+            setattr(self, attr, value)
+        else:
+            self.option_overrides[(attr, imagename)] = value
 
     def setWindowXsize(self, n):
         self.window_xsize = n
 
     def setWindowYsize(self, n):
         self.window_ysize = n
+
+    def setWindowSize(self, x, y):
+        """Both block dimensions at once (reference applier.py:299)."""
+        self.window_xsize, self.window_ysize = x, y
 
     def setOverlap(self, n):
         self.overlap = n
@@ -107,8 +159,155 @@ class ApplierControls:
     def setReference(self, name):
         self.reference = name
 
+    def setReferenceImage(self, name):
+        """Reference spelling (applier.py:349) of :meth:`setReference`."""
+        self.reference = name
+
     def setReferencePixgrid(self, grid):
         self.ref_pixgrid = grid
+
+    def setFilesForExtent(self, names):
+        """Only these inputs participate in the footprint fold
+        (reference applier.py:336-348); the others must still overlap
+        the resulting grid."""
+        self.files_for_extent = list(names)
+
+    def setTempdir(self, tempdir):
+        """Default scratch/out_dir parent (reference applier.py:647)."""
+        self.tempdir = tempdir
+
+    def setInputNoDataValue(self, nodata, imagename=None):
+        """Override the null value used when filling missing input
+        blocks (reference applier.py:421-452)."""
+        self._set("input_nodata", nodata, imagename)
+
+    def setOutputDriverName(self, drivername, imagename=None):
+        """The engine stores tile tables as parquet — the only
+        accepted "driver" (reference applier.py:270-284 takes any GDAL
+        short name; a GDAL name here would silently produce parquet,
+        so reject instead)."""
+        if str(drivername).lower() != "parquet":
+            raise ValueError(
+                f"unsupported output driver {drivername!r}: this engine "
+                "writes parquet tile tables (use 'parquet')"
+            )
+        self._set("output_driver", str(drivername).lower(), imagename)
+
+    def setCreationOptions(self, options, imagename=None):
+        """Output writer options (reference applier.py:386-398 /
+        GDAL creation options): a dict of pyarrow.parquet arguments,
+        e.g. ``{"compression": "zstd"}``.  Defaults come from
+        ``$RIOS_DFLT_CREOPT_PARQUET`` ("key=value key=value", reference
+        const.py:49-95)."""
+        self._set("creation_options", dict(options), imagename)
+
+    def setLayerNames(self, names, imagename=None):
+        """Output band names, stored in the manifest (reference
+        applier.py:636-646)."""
+        self._set("layer_names", list(names), imagename)
+
+    def setOmitBasicStats(self, flag, imagename=None):
+        self._set("omit_basic_stats", flag, imagename)
+
+    def setOmitHistogram(self, flag, imagename=None):
+        self._set("omit_histogram", flag, imagename)
+
+    def setOmitPyramids(self, flag, imagename=None):
+        self._set("omit_pyramids", flag, imagename)
+
+    def setOverviewLevels(self, levels, imagename=None):
+        self._set("overview_levels", list(levels), imagename)
+
+    def setOverviewMinDim(self, min_dim, imagename=None):
+        self._set("overview_min_dim", min_dim, imagename)
+
+    def setOverviewAggregationType(self, agg, imagename=None):
+        """Only NEAREST decimation is implemented (the reference
+        passes the string to gdal BuildOverviews)."""
+        if str(agg).upper() != "NEAREST":
+            raise ValueError(
+                "only NEAREST overview aggregation is implemented"
+            )
+        self._set("overview_agg_type", str(agg).upper(), imagename)
+
+    def setApproxStats(self, flag, imagename=None):
+        """Sampled (approximate) stats at close (reference
+        applier.py:823-844; the CLI calcstats 'approx' path)."""
+        self._set("approx_stats", flag, imagename)
+
+    def setAutoColorTableType(self, colortype, imagename=None):
+        """Attach a generated color table (any ramp name from
+        :mod:`rios_ray.colorramps`, or rainbow/gray/random) to thematic
+        outputs' manifests (reference applier.py:773-797)."""
+        self._set("auto_color_table_type", colortype, imagename)
+
+    # --- vector rasterization controls (per vector name) ---
+
+    def setBurnValue(self, burnvalue, vectorname=None):
+        self._set("burn_value", int(burnvalue), vectorname)
+
+    def setBurnAttribute(self, burnattribute, vectorname=None):
+        self._set("burn_attribute", burnattribute, vectorname)
+
+    def setVectorNull(self, vectornull, vectorname=None):
+        self._set("vector_null", int(vectornull), vectorname)
+
+    def setFilterSQL(self, filtersql, vectorname=None):
+        """SQL WHERE clause filtering layer features before
+        rasterization (reference applier.py:692-698's OGR attribute
+        filter) — evaluated with DuckDB on the driver-side table."""
+        self._set("filter_sql", filtersql, vectorname)
+
+    def setAlltouched(self, alltouched, vectorname=None):
+        """Only the GDAL default pixel-CENTER rule is implemented;
+        ``True`` (burn every touched pixel) raises."""
+        if alltouched:
+            raise NotImplementedError(
+                "allTouched=True is not implemented (center rule only)"
+            )
+        self._set("alltouched", bool(alltouched), vectorname)
+
+    def setVectorDatatype(self, vectordatatype, vectorname=None):
+        self._set("vector_datatype", str(np.dtype(vectordatatype)), vectorname)
+
+    def setVectorlayer(self, vectorlayer, vectorname=None):
+        """Layer index within a datasource; tile-table vector sources
+        are single-layer, so only 0 is valid."""
+        if int(vectorlayer) != 0:
+            raise ValueError("vector sources here are single-layer (use 0)")
+        self._set("vector_layer", int(vectorlayer), vectorname)
+
+    # --- accepted-and-recorded ---
+
+    def setConcurrencyStyle(self, concurrencyStyle):
+        """Recorded only: worker/reader counts collapse into Ray Data's
+        streaming scheduler (SURVEY §2.10; see BASELINE.md scaling
+        runs for the equivalent evidence)."""
+        self.concurrency_style = concurrencyStyle
+
+    def setJobName(self, jobName):
+        """Recorded only (reference uses it for batch-system job names)."""
+        self.job_name = jobName
+
+    def setAllowOverviewsGdalwarp(self, flag):
+        """Recorded only: the engine's resample kernels always read
+        full-resolution tiles (reference applier.py:798-822 guards a
+        gdalwarp shortcut that does not exist here)."""
+        self.allow_overviews_gdalwarp = bool(flag)
+
+    def setSinglePassPyramids(self, flag, imagename=None):
+        """Recorded only: overviews always build as one streamed
+        decimation pass over the written tiles."""
+        self._set("single_pass_pyramids", flag, imagename)
+
+    def setSinglePassBasicStats(self, flag, imagename=None):
+        """Recorded only: stats always recompute from the written tiles
+        in one streamed pass (the reference's at-close semantics)."""
+        self._set("single_pass_basic_stats", flag, imagename)
+
+    def setSinglePassHistogram(self, flag, imagename=None):
+        """Recorded only (see :meth:`setSinglePassBasicStats`)."""
+        self._set("single_pass_histogram", flag, imagename)
 
     def selectInputImageLayers(self, layers, imagename):
         """Layer numbers are 1-based, following the reference's GDAL
@@ -116,14 +315,20 @@ class ApplierControls:
         renumbered 1..n in the reduced set."""
         self.selected_layers[imagename] = [int(l) - 1 for l in layers]
 
-    def setStatsIgnore(self, val, imagename):
-        self.stats_ignore[imagename] = val
+    def setStatsIgnore(self, val, imagename=None):
+        if imagename is None:
+            self.stats_ignore_default = val
+        else:
+            self.stats_ignore[imagename] = val
 
-    def setCalcStats(self, flag):
-        self.calc_stats = flag
+    def setCalcStats(self, flag, imagename=None):
+        self._set("calc_stats", flag, imagename)
 
-    def setThematic(self, flag, imagename):
-        self.thematic[imagename] = flag
+    def setThematic(self, flag, imagename=None):
+        if imagename is None:
+            self.thematic_default = flag
+        else:
+            self.thematic[imagename] = flag
 
     def setResampleMethod(self, method):
         """Enable on-the-fly resampling of misaligned inputs onto the
@@ -541,9 +746,13 @@ class VectorInput:
     projection: str | None = None  # None -> assume working-grid CRS
 
 
-def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
+def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir,
+                      controls: "ApplierControls | None" = None,
+                      name: str | None = None):
     """Vector layer -> temp tile raster on the working grid (one Ray
-    task per block; the polygon index ships once via the object store)."""
+    task per block; the polygon index ships once via the object store).
+    Honors the per-vector controls (burn value/attribute, vector null,
+    filter SQL, datatype — reference applier.py:663-744)."""
     import tempfile
 
     import pyarrow.compute as pc
@@ -553,10 +762,26 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
     from .gridmodel import make_block_list
     from .spatial import PolygonIndex
 
+    def opt(attr):
+        if controls is None:
+            return getattr(ApplierControls(), attr)
+        return controls.getOptionForImagename(attr, name)
+
     table = pq.read_table(vi.source) if isinstance(vi.source, str) else vi.source
     if vi.where is not None:
         col, val = vi.where
         table = table.filter(pc.equal(table[col], val))
+    filter_sql = opt("filter_sql")
+    if filter_sql is not None:
+        # the reference applies an OGR attribute filter
+        # (applier.py:692-698); here DuckDB evaluates the WHERE clause
+        # against the (small, driver-side) layer table
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("layer", table)
+        table = con.execute(f"SELECT * FROM layer WHERE {filter_sql}").arrow()
+        con.close()
     if vi.projection is not None and vi.projection != wg.projection:
         # reproject ring coordinates onto the working grid's CRS once,
         # driver-side (vector layers are the small side by contract)
@@ -570,10 +795,13 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
             new_rings.append(np.stack([rx, ry], axis=1).tolist())
         idx = table.schema.get_field_index("ring_xy")
         table = table.set_column(idx, "ring_xy", pa.array(new_rings))
-    if vi.burn_col is not None:
-        burns = table[vi.burn_col].to_numpy(zero_copy_only=False).astype(np.int32)
+    v_dtype = np.dtype(opt("vector_datatype"))
+    v_null = opt("vector_null")
+    burn_col = vi.burn_col or opt("burn_attribute")
+    if burn_col is not None:
+        burns = table[burn_col].to_numpy(zero_copy_only=False).astype(v_dtype)
     else:
-        burns = np.ones(table.num_rows, dtype=np.int32)
+        burns = np.full(table.num_rows, opt("burn_value"), dtype=v_dtype)
     # last-in-file-order wins for overlaps: rank polygons by position
     order_of = {int(p): i for i, p in enumerate(table["poly_id"].to_pylist())}
     table_ref = ray.put((table, burns, order_of))
@@ -599,7 +827,7 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
             px = np.repeat(cx[None, :], nr, axis=0).ravel()
             py = np.repeat(cy[:, None], nc, axis=1).ravel()
             pt_idx, poly_ids = index.contains(px, py)
-            mask = np.zeros(nr * nc, dtype=np.int32)
+            mask = np.full(nr * nc, v_null, dtype=v_dtype)
             if len(pt_idx):
                 # overlap rule: keep the pair whose polygon is LAST in
                 # file order (sort by rank, later assignments overwrite)
@@ -625,7 +853,8 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
                 ("tile_y", pa.int32()), ("tile_x", pa.int32()),
                 ("top", pa.int32()), ("left", pa.int32()),
                 ("nrows", pa.int32()), ("ncols", pa.int32()),
-                ("band", pa.int32()), ("data", pa.list_(pa.int32())),
+                ("band", pa.int32()),
+                ("data", pa.list_(pa.from_numpy_dtype(v_dtype))),
             ]
         )
         return pa.Table.from_pylist(rows, schema=schema)
@@ -635,7 +864,8 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir):
         burn_block, batch_format="pyarrow", batch_size=8
     ).write_parquet(tmp)
     return TileRasterInfo(
-        path=tmp, grid=wg, nbands=1, dtype="int32", nullval=0, thematic=True
+        path=tmp, grid=wg, nbands=1, dtype=str(v_dtype), nullval=v_null,
+        thematic=True,
     )
 
 
@@ -660,11 +890,18 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
     import ray.data
 
     controls = controls or ApplierControls()
+    if out_dir is None:
+        out_dir = controls.tempdir  # setTempdir default scratch parent
     inputs = {name: _resolve_input(spec) for name, spec in infiles.items()}
 
     # ---- plan (driver) ----
     vector_names = [n for n, ti in inputs.items() if isinstance(ti, VectorInput)]
-    all_grids = [ti.grid for n, ti in inputs.items() if n not in vector_names]
+    extent_names = [
+        n for n in inputs
+        if n not in vector_names
+        and (controls.files_for_extent is None or n in controls.files_for_extent)
+    ]
+    all_grids = [inputs[n].grid for n in extent_names]
     if not all_grids:
         raise ValueError("at least one raster input is required")
     if controls.ref_pixgrid is not None:
@@ -695,7 +932,8 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
     B_y, B_x = controls.window_ysize, controls.window_xsize
     # rasterize vector inputs onto the working grid (reference S6)
     for name in vector_names:
-        inputs[name] = _rasterize_vector(inputs[name], wg, B_y, B_x, out_dir)
+        inputs[name] = _rasterize_vector(inputs[name], wg, B_y, B_x, out_dir,
+                                         controls=controls, name=name)
     # on-the-fly resample / reproject of misaligned inputs (reference
     # warp-VRT path)
     for name in list(inputs):
@@ -715,6 +953,13 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
                     "call controls.setResampleMethod()"
                 )
             inputs[name] = _resample_input(ti, wg, out_dir, method)
+    # per-input nodata override for null-fill (setInputNoDataValue)
+    for name in list(inputs):
+        nd = controls.getOptionForImagename("input_nodata", name)
+        if nd is not None:
+            import dataclasses as _dc
+
+            inputs[name] = _dc.replace(inputs[name], nullval=nd)
     wg_nrows, wg_ncols = wg.dimensions()
     m = controls.overlap
     nbx = -(-wg_ncols // B_x)
@@ -783,7 +1028,13 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
         out_dir = os.path.commonpath(list(outfiles.values())) if len(outfiles) > 1 else (
             os.path.dirname(next(iter(outfiles.values()))) or "."
         )
-    scratch = os.path.join(out_dir, "_applier_run")
+    # unique per-run scratch: a fixed name would make a second apply()
+    # into the same out_dir read the first run's leftover fragments
+    # (write_parquet appends into an existing directory)
+    import tempfile as _tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    scratch = _tempfile.mkdtemp(prefix="_applier_run_", dir=out_dir)
     try:
         out_ds.write_parquet(scratch, partition_cols=["name"])
     except Exception as e:
@@ -831,23 +1082,30 @@ def apply(user_fn, infiles: dict, outfiles: dict, other_args=None,
         other_args_list = [pickle.loads(b.as_py()) for b in t["payload"]]
 
     out_infos = {}
-    for name, path in outfiles.items():
-        if controls.before_close_hooks:
-            # hooks receive the open in-memory handle (reference
-            # callBeforeClose semantics) — inherently driver-side
-            out_infos[name] = _finalize_driver(name, path, scratch, wg, controls)
-        else:
-            out_infos[name] = _finalize_distributed(name, path, scratch, wg, controls)
+    try:
+        for name, path in outfiles.items():
+            if controls.before_close_hooks:
+                # hooks receive the open in-memory handle (reference
+                # callBeforeClose semantics) — inherently driver-side
+                out_infos[name] = _finalize_driver(name, path, scratch, wg,
+                                                   controls)
+            else:
+                out_infos[name] = _finalize_distributed(name, path, scratch,
+                                                        wg, controls)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
     return ApplierReturn(wg, other_args_list, out_infos, nbx * nby)
 
 
 def _out_options(name: str, controls: ApplierControls):
     nullval = controls.option_overrides.get(
-        ("stats_ignore", name), controls.stats_ignore.get(name)
+        ("stats_ignore", name),
+        controls.stats_ignore.get(name, controls.stats_ignore_default),
     )
     thematic = controls.option_overrides.get(
-        ("thematic", name), controls.thematic.get(name, False)
+        ("thematic", name),
+        controls.thematic.get(name, controls.thematic_default),
     )
     return nullval, thematic
 
@@ -942,27 +1200,77 @@ def _finalize_distributed(name: str, path: str, scratch: str, wg: PixelGrid,
     ds = ray.data.read_parquet(part).map_batches(
         make_canonical_fn(dtype), batch_format="pyarrow", zero_copy_batch=True
     )
-    ds.write_parquet(path)
+    write_args = _creation_options(name, controls)
+    ds.write_parquet(path, **write_args)
 
     stats = None
-    if controls.getOptionForImagename("calc_stats", name):
+    omit_basic = controls.getOptionForImagename("omit_basic_stats", name)
+    omit_hist = controls.getOptionForImagename("omit_histogram", name)
+    if controls.getOptionForImagename("calc_stats", name) and not (
+        omit_basic and omit_hist
+    ):
         from .stats import make_partials_fn, merge_partials
 
-        pdf = (
-            ray.data.read_parquet(path)
-            .map_batches(
-                make_partials_fn(np_dtype, nullval, thematic,
-                                 include_hist=np_dtype.kind in "iu"),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .to_pandas()
-        )
+        stats_ds = ray.data.read_parquet(path)
+        if controls.getOptionForImagename("approx_stats", name):
+            # sampled stats (reference approxStats / CLI 'approx'):
+            # a deterministic-fraction subsample of tiles
+            stats_ds = stats_ds.random_sample(0.25, seed=42)
+        pdf = stats_ds.map_batches(
+            make_partials_fn(
+                np_dtype, nullval, thematic,
+                include_hist=(np_dtype.kind in "iu") and not omit_hist,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
         stats = _stats_dict(merge_partials(pdf, nullval, thematic, np_dtype))
 
+    # overview pyramids at close (reference imagewriter BuildOverviews;
+    # one streamed NEAREST-decimation pass per level, written alongside
+    # the output like GDAL's .ovr)
+    overviews = None
+    if not controls.getOptionForImagename("omit_pyramids", name):
+        from .tiles import pyramid_tiles
+
+        nrows_, ncols_ = wg.dimensions()
+        pyr, lvls = pyramid_tiles(
+            ray.data.read_parquet(path), np_dtype, nrows_, ncols_,
+            levels=controls.getOptionForImagename("overview_levels", name),
+            min_dim=controls.getOptionForImagename("overview_min_dim", name),
+        )
+        if lvls:
+            ovr = path + ".ovr"
+            _delete_if_existing(ovr)
+            pyr.write_parquet(ovr, **write_args)
+            overviews = {"levels": lvls, "path": ovr}
+
+    ct_type = controls.getOptionForImagename("auto_color_table_type", name)
+    if ct_type is not None and thematic:
+        from .colortable import gen_color_table
+
+        stats = dict(stats or {})
+        stats["color_table"] = gen_color_table(256, ct_type).tolist()
+
     return write_manifest(
-        path, wg, nbands, dtype, nullval=nullval, thematic=thematic, stats=stats
+        path, wg, nbands, dtype, nullval=nullval, thematic=thematic,
+        layer_names=controls.getOptionForImagename("layer_names", name),
+        stats=stats, overviews=overviews,
     )
+
+
+def _creation_options(name: str, controls: ApplierControls) -> dict:
+    """Writer kwargs for an output: explicit setCreationOptions, else
+    ``$RIOS_DFLT_CREOPT_PARQUET`` ("key=value ..." — reference
+    const.py:49-95 env-default creation options)."""
+    opts = controls.getOptionForImagename("creation_options", name)
+    if opts is None:
+        env = os.environ.get("RIOS_DFLT_CREOPT_PARQUET")
+        opts = (
+            dict(kv.split("=", 1) for kv in env.split() if "=" in kv)
+            if env else {}
+        )
+    return dict(opts)
 
 
 def _warn_nonfinite(meta: pa.Table, path: str):
@@ -1018,4 +1326,5 @@ def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
     return write_tile_raster(
         path, tile_table, wg, nbands, dtype,
         nullval=nullval, thematic=thematic, stats=stats,
+        layer_names=controls.getOptionForImagename("layer_names", name),
     )

@@ -71,10 +71,12 @@ def write_manifest(
     thematic: bool = False,
     layer_names: list[str] | None = None,
     stats: dict | None = None,
+    overviews: dict | None = None,
 ) -> TileRasterInfo:
     """Write only the grid manifest sidecar (for tile data written
     separately, e.g. a distributed ``Dataset.write_parquet`` into a
-    directory — the resumable, many-file output layout)."""
+    directory — the resumable, many-file output layout).  ``overviews``
+    records pyramid levels + .ovr path (GDAL .ovr analogue)."""
     manifest = {
         "grid": {
             "x_min": grid.x_min, "x_max": grid.x_max,
@@ -90,6 +92,8 @@ def write_manifest(
     }
     if stats is not None:
         manifest["stats"] = stats
+    if overviews is not None:
+        manifest["overviews"] = overviews
     with open(_manifest_path(path), "w") as f:
         json.dump(manifest, f)
     return TileRasterInfo(path, grid, nbands, str(np.dtype(dtype)), nullval, thematic, layer_names)

@@ -85,10 +85,11 @@ def decimate_tile_batch(batch: pa.Table, lvl: int, dtype) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
-def pyramid_tiles(ds, dtype, nrows: int, ncols: int, levels=None):
+def pyramid_tiles(ds, dtype, nrows: int, ncols: int, levels=None,
+                  min_dim: int = DEFAULT_MIN_OVERVIEW_DIM):
     """All overview levels for a tile-keyed Dataset, as one Dataset
     (stateless flat decimation per level — streaming, no shuffle)."""
-    lvls = overview_levels(nrows, ncols, levels)
+    lvls = overview_levels(nrows, ncols, levels, min_dim)
     out = None
     for lvl in lvls:
         d = ds.map_batches(
