@@ -439,6 +439,18 @@ def _q_rel_q6(sf_dir: str):
     return R.q6_forecast_revenue(sf_dir)
 
 
+def _q_rel_q4(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q4_order_priority(sf_dir)
+
+
+def _q_rel_q22(sf_dir: str):
+    from rios_ray.pipelines import relational as R
+
+    return R.q22_idle_customers(sf_dir)
+
+
 def _q_events_distinct_users(sf_dir: str):
     from rios_ray.pipelines.events import distinct_users
 
@@ -593,6 +605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_nation_revenue": _q_rel_q5,
         "rel_q6_forecast_revenue": _q_rel_q6,
+        "rel_q4_order_priority": _q_rel_q4,
+        "rel_q22_idle_customers": _q_rel_q22,
         "rel_q14_type_revenue": _q_rel_q14,
         "rel_q18_big_orders": _q_rel_q18,
         "events_tumbling": _q_events_tumbling,
@@ -977,6 +991,32 @@ def _relational_oracle_sql() -> dict[str, str]:
                AND l_discount >= CAST(0.05 AS DOUBLE)
                AND l_discount <= CAST(0.07 AS DOUBLE)
                AND l_quantity < 24
+        """,
+        "rel_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_returnflag = 'R')
+             GROUP BY o_orderpriority
+        """,
+        "rel_q22_idle_customers": """
+            WITH pos AS (
+                SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents
+                  FROM customer WHERE c_acctbal > 0.0
+            ), avg_ AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS s,
+                       count(*) AS n FROM pos
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM pos, avg_
+             WHERE cents * n > s
+               AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = pos.c_custkey
+                                  AND o_orderpriority = '1-URGENT')
+             GROUP BY c_nationkey
         """,
     }
 

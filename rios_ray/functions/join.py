@@ -113,3 +113,78 @@ def partitioned_lookup_join(
         return pa.table(cols)
 
     return hash_partitioned_groups(u, ["_key"], gather, num_partitions)
+
+
+def partitioned_exists_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    left_cols: list[tuple[str, pa.DataType]],
+    num_partitions: int = 16,
+    anti: bool = False,
+):
+    """Distributed EXISTS (semi) / NOT EXISTS (anti) join: keep left
+    rows whose ``left_key`` has (``anti=False``) or lacks (``anti=True``)
+    at least one match in ``right[right_key]``.
+
+    Unlike :func:`partitioned_lookup_join`, the right side need not be
+    keyed uniquely — only membership matters, so right batches are
+    deduplicated per batch before the exchange (a combiner: shuffle
+    volume is bounded by distinct keys per batch, not right rows).
+    """
+    l_names = [n for n, _ in left_cols]
+
+    def left_rows(b: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "_key": b[left_key],
+            "_side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+        }
+        for name, typ in left_cols:
+            cols[name] = b[name].cast(typ) if b[name].type != typ else b[name]
+        return pa.table(cols)
+
+    def right_rows(b: pa.Table) -> pa.Table:
+        keys = pc.unique(b[right_key].combine_chunks())
+        cols = {
+            "_key": keys,
+            "_side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+        }
+        for name, typ in left_cols:
+            cols[name] = pa.nulls(len(keys), typ)
+        return pa.table(cols)
+
+    u = left.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=JOIN_BATCH
+    ).union(
+        right.map_batches(
+            right_rows,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=JOIN_BATCH,
+        )
+    )
+
+    def empty() -> pa.Table:
+        return pa.table({n: pa.array([], type=t) for n, t in left_cols})
+
+    def gather(tbl: pa.Table) -> pa.Table:
+        side = tbl["_side"].to_numpy()
+        keys = tbl["_key"].to_numpy(zero_copy_only=False)
+        ridx = np.flatnonzero(side == 0)
+        lidx = np.flatnonzero(side == 1)
+        if len(lidx) == 0:
+            return empty()
+        if len(ridx) == 0:
+            hit = np.zeros(len(lidx), dtype=bool)
+        else:
+            rsorted = np.unique(keys[ridx])
+            lkeys = keys[lidx]
+            pos = np.minimum(np.searchsorted(rsorted, lkeys), len(rsorted) - 1)
+            hit = rsorted[pos] == lkeys
+        lkeep = lidx[~hit] if anti else lidx[hit]
+        if len(lkeep) == 0:
+            return empty()
+        return tbl.select(l_names).take(pa.array(lkeep))
+
+    return hash_partitioned_groups(u, ["_key"], gather, num_partitions)

@@ -451,3 +451,126 @@ def q18_big_orders(
     return orders.map_batches(
         annotate, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
     )
+
+
+def q4_order_priority(sf_dir: str, returnflag: str = "R") -> ray.data.Dataset:
+    """Q4-style order-priority check: count orders per priority where
+    EXISTS a lineitem with the given return flag.
+
+    The distributed EXISTS (semi-join) shape (reference Q4's correlated
+    subquery): both sides are fact tables, so neither broadcasts — the
+    filtered lineitem keys are batch-deduplicated (combiner) and meet
+    the orders in one partitioned union exchange
+    (``functions/join.py:partitioned_exists_join``); the surviving
+    orders feed the usual combiner-first grouped count.  Group
+    cardinality is the priority enum, so the final merge is tiny.
+    """
+    import pyarrow.compute as pc
+
+    def flagged(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], returnflag))
+        return b.select(["l_orderkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        flagged, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    from ..functions.join import partitioned_exists_join
+
+    semi = partitioned_exists_join(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        [("o_orderpriority", pa.string())],
+        _join_partitions(),
+    )
+    return hash_grouped_aggregate(
+        semi, ["o_orderpriority"], [(None, "count", "order_count")]
+    )
+
+
+def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> ray.data.Dataset:
+    """Q22-style global-sales-opportunity: per nation, count and total
+    balance of above-average-balance customers who have never placed an
+    order at the given priority.
+
+    Three distributed shapes in one query, mirroring reference Q22:
+    (1) an uncorrelated scalar subquery — the positive-balance average
+    — computed as one-row partials merged driver-side and folded into
+    the filter as *exact integer* math (``cents * n > sum_cents``
+    instead of a float divide, so the Ray and SQL sides cannot diverge;
+    the product is safe while cents·count < 2^63 — ~1e18, i.e. beyond
+    100 TB customer counts); (2) a distributed NOT EXISTS (anti-join)
+    against the orders fact via the partitioned union exchange; (3) the
+    grouped count/sum final over nation keys."""
+    import pyarrow.compute as pc
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_cents(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(bal > 0.0))
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"],
+                "cents": pa.array(_cents(bal)),
+            }
+        )
+
+    pos = cust.map_batches(
+        pos_cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    # scalar subquery: (sum, count) partials -> driver merge (tiny)
+    def partial(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array([int(c.sum())], type=pa.int64()),
+                "n": pa.array([int(len(c))], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        pos.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+    s_total, n_total = int(agg["s"]), int(agg["n"])
+
+    def above_avg(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(c * n_total > s_total))
+
+    rich = pos.map_batches(
+        above_avg, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    def urgent(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderpriority"], priority))
+        return b.select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    from ..functions.join import partitioned_exists_join
+
+    idle = partitioned_exists_join(
+        rich,
+        orders,
+        "c_custkey",
+        "o_custkey",
+        [("c_nationkey", pa.int64()), ("cents", pa.int64())],
+        _join_partitions(),
+        anti=True,
+    )
+    return hash_grouped_aggregate(
+        idle,
+        ["c_nationkey"],
+        [(None, "count", "numcust"), ("cents", "sum", "total_cents")],
+    )

@@ -161,3 +161,70 @@ def test_q18_fallback_join(ray_session, con):
     assert got["total_qty"].tolist() == want["total_qty"].tolist()
     assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
     assert got["o_orderdate"].tolist() == want["o_orderdate"].tolist()
+
+
+def test_q4_semi_join(ray_session, con):
+    got = (
+        R.q4_order_priority(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        SELECT o_orderpriority, count(*) AS order_count
+          FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1 ORDER BY 1""").df()
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == want["order_count"].tolist()
+
+
+def test_q22_anti_join(ray_session, con):
+    got = (
+        R.q22_idle_customers(SF)
+        .to_pandas()
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    want = con.execute("""
+        WITH pos AS (
+            SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents
+              FROM customer WHERE c_acctbal > 0.0
+        ), avg_ AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n FROM pos)
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+          FROM pos, avg_
+         WHERE cents * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = pos.c_custkey
+                              AND o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""").df()
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("c_nationkey", "numcust", "total_cents"):
+        assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_exists_join_edge_cases(ray_session):
+    """Semi keeps only matched keys; anti keeps the complement; an
+    empty right side keeps nothing (semi) / everything (anti)."""
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.join import partitioned_exists_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4, 5], "v": ["a", "b", "c", "d", "e"]})
+    )
+    right = ray.data.from_arrow(pa.table({"rk": [2, 2, 4, 9]}))
+    cols = [("k", pa.int64()), ("v", pa.string())]
+    semi = partitioned_exists_join(left, right, "k", "rk", cols, 4).to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 4]
+    anti = partitioned_exists_join(left, right, "k", "rk", cols, 4, anti=True).to_pandas()
+    assert sorted(anti["k"].tolist()) == [1, 3, 5]
+    empty_right = ray.data.from_arrow(pa.table({"rk": pa.array([], type=pa.int64())}))
+    anti_all = partitioned_exists_join(
+        left, empty_right, "k", "rk", cols, 4, anti=True
+    ).to_pandas()
+    assert sorted(anti_all["k"].tolist()) == [1, 2, 3, 4, 5]
