@@ -369,6 +369,12 @@ def _q_dedup_minhash(sf_dir: str):
     return D.minhash_pairs(sf_dir, threshold=0.5)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.minhash_clusters(sf_dir, threshold=0.5)
+
+
 def _q_dedup_simhash(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -598,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
+        "dedup_minhash_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "flagship_resumable": _q_flagship_resumable,
         "cell_pages_capped": _q_cell_pages_capped,
@@ -875,6 +882,29 @@ def _dedup_oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=64)}",
         "dedup_minhash_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)}",
+        # transitive closure over the exact-Jaccard pairs (the oracle
+        # for the distributed connected-components clustering step);
+        # DuckDB's recursive UNION dedups, so the walk terminates
+        "dedup_minhash_clusters": f"""
+            WITH RECURSIVE {_GRAMS_CTE},
+            p0 AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+                  FROM grams a JOIN grams b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2, 3, 4),
+            p AS (SELECT doc_a, doc_b FROM p0
+                   WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+                      UNION ALL SELECT doc_b, doc_a FROM p),
+            reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY src
+        """,
         # Exact-Hamming brute force over a deterministic simhash sidecar
         # (pure-numpy, no Ray — see ensure_simhash_sidecar); gates the
         # distributed banded-pigeonhole join end to end.

@@ -474,3 +474,37 @@ def ensure_simhash_sidecar(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> str:
         )
         os.replace(tmp, out)
     return out
+
+
+# --- Clustering (pairs -> components -> keep decisions) -------------------
+
+
+def minhash_clusters(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id) for every document in a near-duplicate
+    pair: the fuzzy-dedup completion step.  Verified MinHash pairs
+    become transitive duplicate CLUSTERS via distributed connected
+    components (``functions/graph.py``); ``cluster_id`` is the min doc
+    id of the component, i.e. the canonical document to keep — docs
+    with ``doc_id != cluster_id`` are the drop set.  Documents in no
+    pair are implicitly their own (size-1) cluster and are not emitted.
+    """
+    from ..functions.graph import connected_components
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    pairs = minhash_pairs(
+        sf_dir, ngram=ngram, threshold=threshold, num_partitions=num_partitions
+    )
+    cc = connected_components(
+        pairs, "doc_a", "doc_b", num_partitions=num_partitions
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["cluster_id"]})
+
+    return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

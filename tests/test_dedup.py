@@ -201,3 +201,58 @@ def test_gram_hash_flat_matches_doc_grams():
         want = sorted(set(H.fnv1a64(doc_grams(t, 3)).tolist()))
         got = sorted(h[d == i].tolist())
         assert got == want, (i, t)
+
+
+def test_connected_components_shapes(ray_session):
+    """Chain (forces multiple propagation rounds), triangle, isolated
+    pair — labels must be the component-min everywhere."""
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.graph import connected_components
+
+    # chain 10-11-12-13-14, triangle 1-2-3 (+ redundant edge), pair 7-8
+    edges = pa.table(
+        {
+            "doc_a": [10, 11, 12, 13, 1, 2, 1, 7],
+            "doc_b": [11, 12, 13, 14, 2, 3, 3, 8],
+        }
+    )
+    got = (
+        connected_components(ray.data.from_arrow(edges), num_partitions=4)
+        .to_pandas()
+        .set_index("node")["cluster_id"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_minhash_clusters(ray_session):
+    """Clusters agree with a driver-side union-find over the verified
+    pairs, and cluster_id is the component min (the keep-id)."""
+    from rios_ray.pipelines.dedup import minhash_clusters, minhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    pairs = minhash_pairs(sf, threshold=0.5).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = (
+        minhash_clusters(sf, threshold=0.5)
+        .to_pandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got == want
+    assert all(cid <= d for d, cid in got.items())
