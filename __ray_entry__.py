@@ -289,6 +289,12 @@ def _q_text_quality(sf_dir: str):
     return T.quality(sf_dir)
 
 
+def _q_text_repetition(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.repetition(sf_dir)
+
+
 def _q_text_lang_id(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -592,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_cells": _q_hex_cells,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
         "text_lang_id": _q_text_lang_id,
         "text_md5": _q_text_md5,
         "text_winnow": _q_text_winnow,
@@ -716,6 +723,39 @@ def _text_oracle_sql() -> dict[str, str]:
                  m AS (SELECT *, GREATEST(c_en,c_de,c_fr,c_es,c_zh) AS m FROM c)
             SELECT doc_id, CASE WHEN m=0 THEN 'und' {lang_cases} END AS lang_pred
               FROM m
+        """,
+        # Gopher-style repetition: grams via string_split/list_transform
+        # (identical to the Ray side's dictionary-coded grams); every
+        # fraction is one IEEE double division of two exact BIGINTs
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                         FROM documents),
+            uw AS (SELECT doc_id, count(DISTINCT word) AS nd, count(*) AS nt
+                     FROM (SELECT doc_id, unnest(words) AS word FROM w)
+                    GROUP BY 1),
+            g2 AS (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1])) AS gram
+                     FROM w WHERE len(words) >= 2),
+            g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            g2s AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot
+                      FROM g2c GROUP BY 1),
+            g3 AS (SELECT doc_id, unnest(list_transform(
+                          generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+                     FROM w WHERE len(words) >= 3),
+            g3c AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+            g3s AS (SELECT doc_id,
+                           sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+                           sum(c) AS tot
+                      FROM g3c GROUP BY 1)
+            SELECT u.doc_id,
+                   1.0 - CAST(nd AS DOUBLE) / nt AS word_rep_frac,
+                   coalesce(CAST(maxc AS DOUBLE) / g2s.tot, 0.0) AS top2gram_frac,
+                   coalesce(CAST(dupc AS DOUBLE) / g3s.tot, 0.0) AS dup3gram_frac
+              FROM uw u
+              LEFT JOIN g2s USING (doc_id)
+              LEFT JOIN g3s USING (doc_id)
         """,
         "text_winnow": _winnow_sql(),
         "text_topk_tokens": r"""

@@ -35,6 +35,15 @@ def quality(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def repetition(sf_dir: str) -> ray.data.Dataset:
+    """doc_id + Gopher-style repetition fractions (word / top-2-gram /
+    dup-3-gram) — the within-document quality companion to the
+    cross-document dedup pipelines."""
+    return _one_stage(sf_dir, A.repetition_stats, ["doc_id", "text"]).select_columns(
+        ["doc_id", "word_rep_frac", "top2gram_frac", "dup3gram_frac"]
+    )
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
     """doc_id + lang_pred (stopword n-gram heuristic, 'und' fallback)."""
     return _one_stage(sf_dir, A.lang_id, ["doc_id", "text"]).select_columns(

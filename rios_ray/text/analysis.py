@@ -102,6 +102,91 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
+# --- repetition (Gopher-style quality signals) -----------------------------
+
+
+def _group_fracs(doc: np.ndarray, gram: np.ndarray, n_docs: int):
+    """Per-doc (max run / total, dup-occurrence / total) over (doc, gram)
+    occurrence pairs — one lexsort + boundary scan, no Python loops.
+    Returns (top_frac, dup_frac, totals) with 0.0 where a doc has no
+    occurrences."""
+    top = np.zeros(n_docs, dtype=np.float64)
+    dup = np.zeros(n_docs, dtype=np.float64)
+    tot = np.bincount(doc, minlength=n_docs).astype(np.int64)
+    if len(doc) == 0:
+        return top, dup, tot
+    order = np.lexsort((gram, doc))
+    d_s, g_s = doc[order], gram[order]
+    bounds = np.flatnonzero(np.r_[True, (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])])
+    run_len = np.diff(np.r_[bounds, len(d_s)])
+    run_doc = d_s[bounds]
+    dbounds = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+    uniq_docs = run_doc[dbounds]
+    maxc = np.maximum.reduceat(run_len, dbounds)
+    dupc = np.add.reduceat(np.where(run_len >= 2, run_len, 0), dbounds)
+    nz = tot[uniq_docs]
+    top[uniq_docs] = maxc / nz
+    dup[uniq_docs] = dupc / nz
+    return top, dup, tot
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append Gopher-style repetition signals per document:
+
+    - ``word_rep_frac``: 1 - distinct words / total words;
+    - ``top2gram_frac``: occurrences of the most frequent word 2-gram
+      over total 2-gram occurrences (0.0 for docs under 2 words);
+    - ``dup3gram_frac``: fraction of 3-gram occurrences whose gram
+      appears more than once in the doc (0.0 under 3 words).
+
+    Tokenization is a literal single-space split (mirroring SQL
+    ``string_split(text, ' ')``); every fraction is an IEEE float64
+    division of two exact int64 counts, so the DuckDB oracle is
+    bit-identical.  Grams are exact integer codes (dictionary word ids
+    combined positionally), not hashes — no collision caveat.
+    """
+    wl = pc.split_pattern(batch[text_col], " ").combine_chunks()
+    offsets = wl.offsets.to_numpy().astype(np.int64)
+    lengths = np.diff(offsets)
+    n_docs = len(lengths)
+    de = pc.dictionary_encode(wl.values)
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    inv = de.indices.to_numpy().astype(np.int64)
+    V = np.int64(len(de.dictionary))
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+
+    # word repetition: distinct words per doc via first-occurrence scan
+    order = np.lexsort((inv, doc))
+    d_s, w_s = doc[order], inv[order]
+    first = np.r_[True, (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])]
+    distinct = np.bincount(d_s[first], minlength=n_docs).astype(np.int64)
+    total = np.maximum(lengths, 1)
+    word_rep = 1.0 - distinct / total
+
+    # words remaining in the doc from each position (incl. itself):
+    # an n-gram may start wherever rem >= n
+    pos = np.arange(len(inv), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    rem = np.repeat(lengths, lengths) - pos
+
+    i2 = np.flatnonzero(rem >= 2)
+    # exact combined code; V^2 always fits (V < 3e9 in any real batch)
+    g2 = inv[i2] * V + inv[i2 + 1]
+    top2, _, _ = _group_fracs(doc[i2], g2, n_docs)
+
+    # 3-grams: re-encode the 2-gram prefix to keep the combined code
+    # inside int64 at any vocab size
+    i3 = np.flatnonzero(rem >= 3)
+    p_uniq, p_inv = np.unique(inv[i3] * V + inv[i3 + 1], return_inverse=True)
+    g3 = p_inv.astype(np.int64) * V + inv[i3 + 2]
+    _, dup3, _ = _group_fracs(doc[i3], g3, n_docs)
+
+    batch = batch.append_column("word_rep_frac", pa.array(word_rep))
+    batch = batch.append_column("top2gram_frac", pa.array(top2))
+    batch = batch.append_column("dup3gram_frac", pa.array(dup3))
+    return batch
+
+
 # --- fingerprinting -------------------------------------------------------
 
 

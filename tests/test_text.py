@@ -235,3 +235,78 @@ def test_stratified_sample_vs_duckdb(ray_session, con):
     assert "src1" not in set(got["source"])           # drop-all stratum
     n_src0 = (got["source"] == "src0").sum()
     assert n_src0 == (want["source"] == "src0").sum() and n_src0 > 0
+
+
+def test_repetition_stats_edges(ray_session):
+    """Hand-computed repetition fractions, incl. short-doc edges."""
+    import pyarrow as pa
+
+    from rios_ray.text.analysis import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "a a a a",          # 1 distinct/4; top 2-gram 'a a' 3/3; dup3 3/3 ('a a a' x2... all dup)
+                "x",                 # single word: no 2/3-grams
+                "p q",               # two words: one 2-gram, no 3-gram
+                "a b c a b c a b",   # mixed repeats
+                "",                  # empty text -> [''] one word
+            ],
+        }
+    )
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "word_rep_frac"] == 1.0 - 1.0 / 4.0
+    assert out.loc[1, "top2gram_frac"] == 1.0          # 'a a' is every 2-gram
+    assert out.loc[1, "dup3gram_frac"] == 1.0          # 'a a a' twice
+    assert out.loc[2, "word_rep_frac"] == 0.0
+    assert out.loc[2, "top2gram_frac"] == 0.0
+    assert out.loc[2, "dup3gram_frac"] == 0.0
+    assert out.loc[3, "top2gram_frac"] == 1.0          # single 2-gram
+    assert out.loc[3, "dup3gram_frac"] == 0.0
+    # doc 4: words a b c a b c a b -> 8 words, 3 distinct
+    assert out.loc[4, "word_rep_frac"] == 1.0 - 3.0 / 8.0
+    # 2-grams: ab bc ca ab bc ca ab -> ab x3 of 7
+    assert out.loc[4, "top2gram_frac"] == 3.0 / 7.0
+    # 3-grams: abc bca cab abc bca cab -> all 6 occurrences duplicated
+    assert out.loc[4, "dup3gram_frac"] == 1.0
+    assert out.loc[5, "word_rep_frac"] == 0.0          # [''] one distinct word
+
+
+def test_repetition_matches_duckdb(ray_session):
+    """Pipeline vs the oracle's SQL shape at sf0.001 (bit-exact doubles)."""
+    import duckdb
+
+    from rios_ray import synth
+    from rios_ray.pipelines.text import repetition
+
+    got = repetition("/root/testdata/sf0.001").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.sql("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        uw AS (SELECT doc_id, count(DISTINCT word) AS nd, count(*) AS nt
+                 FROM (SELECT doc_id, unnest(words) AS word FROM w) GROUP BY 1),
+        g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),
+                      i -> words[i] || ' ' || words[i+1])) AS gram
+                 FROM w WHERE len(words) >= 2),
+        g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        g2s AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM g2c GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+                 FROM w WHERE len(words) >= 3),
+        g3c AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+        g3s AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dupc,
+                       sum(c) AS tot FROM g3c GROUP BY 1)
+        SELECT u.doc_id,
+               1.0 - CAST(nd AS DOUBLE) / nt AS word_rep_frac,
+               coalesce(CAST(maxc AS DOUBLE) / g2s.tot, 0.0) AS top2gram_frac,
+               coalesce(CAST(dupc AS DOUBLE) / g3s.tot, 0.0) AS dup3gram_frac
+          FROM uw u LEFT JOIN g2s USING (doc_id) LEFT JOIN g3s USING (doc_id)
+         ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    for c in ("word_rep_frac", "top2gram_frac", "dup3gram_frac"):
+        assert got[c].tolist() == want[c].tolist(), c
