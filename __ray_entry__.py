@@ -295,6 +295,12 @@ def _q_text_repetition(sf_dir: str):
     return T.repetition(sf_dir)
 
 
+def _q_corpus_clean(sf_dir: str):
+    from rios_ray.pipelines import text as T
+
+    return T.corpus_clean(sf_dir)
+
+
 def _q_text_lang_id(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -577,6 +583,12 @@ def _q_emb_neardup_lsh(sf_dir: str):
     return E.cosine_neardup_lsh(sf_dir, threshold=0.8)
 
 
+def _q_emb_neardup_clusters(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.cosine_neardup_clusters(sf_dir, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # materialize the shared deterministic inputs before any oracle runs
     synth.ensure_pages(SF001)
@@ -599,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "corpus_clean": _q_corpus_clean,
         "text_lang_id": _q_text_lang_id,
         "text_md5": _q_text_md5,
         "text_winnow": _q_text_winnow,
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "emb_neardup_clusters": _q_emb_neardup_clusters,
     }
 
 
@@ -691,6 +705,7 @@ def _text_oracle_sql() -> dict[str, str]:
     pyarrow.compute kernels in rios_ray.text.analysis — so these are
     bit-identical reimplementations, not approximations.
     """
+    from rios_ray.pipelines.dedup import DUP_CORPUS_SQL
     from rios_ray.text.analysis import LANG_PRIORITY, STOPWORD_RES
 
     en = STOPWORD_RES["en"]
@@ -699,7 +714,41 @@ def _text_oracle_sql() -> dict[str, str]:
         rf"len(regexp_extract_all(lower(text),'{STOPWORD_RES[l]}')) AS c_{l}"
         for l in LANG_PRIORITY
     )
+    quality_expr = rf"""
+            LEAST(1.0, len(regexp_extract_all(text,'\S+'))/64.0)*0.5
+          + LEAST(1.0, (len(regexp_extract_all(lower(text),'{en}'))
+              / GREATEST(len(regexp_extract_all(text,'\S+')),1)) * 8.0)*0.3
+          + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
+              / GREATEST(length(text),1)) * 10.0))*0.2
+    """
     return {
+        # composed cleaning pipeline: lang filter + quality floor +
+        # word-repetition ceiling + exact dedup (min doc_id per
+        # normalized md5) over the duplicate-injected corpus
+        "corpus_clean": rf"""
+            WITH corpus AS ({DUP_CORPUS_SQL}),
+            c AS (SELECT doc_id, text, {lang_counts} FROM corpus),
+            mm AS (SELECT *, GREATEST(c_en,c_de,c_fr,c_es,c_zh) AS m FROM c),
+            l AS (SELECT doc_id, text,
+                         CASE WHEN m=0 THEN 'und' {lang_cases} END AS lang_pred,
+                         {quality_expr} AS quality
+                    FROM mm),
+            uw AS (SELECT doc_id,
+                          1.0 - CAST(count(DISTINCT word) AS DOUBLE)/count(*)
+                              AS word_rep_frac
+                     FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+                             FROM corpus)
+                    GROUP BY doc_id),
+            f AS (SELECT l.doc_id, l.quality, uw.word_rep_frac,
+                         md5(trim(regexp_replace(lower(l.text),'\s+',' ','g')))
+                             AS text_md5
+                    FROM l JOIN uw USING (doc_id)
+                   WHERE l.quality >= 0.7 AND uw.word_rep_frac <= 0.6
+                     AND l.lang_pred = 'en'),
+            k AS (SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS keep_id
+                    FROM f)
+            SELECT doc_id, quality, word_rep_frac FROM k WHERE doc_id = keep_id
+        """,
         "text_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars_txt,
@@ -992,6 +1041,26 @@ def _embeddings_oracle_sql() -> dict[str, str]:
         """,
         "emb_neardup": neardup,
         "emb_neardup_lsh": neardup,
+        # transitive closure over the exact-cosine pairs: the oracle for
+        # the distributed connected-components clustering of embedding
+        # near-duplicates
+        "emb_neardup_clusters": f"""
+            WITH RECURSIVE corpus AS ({NEARDUP_CORPUS_SQL}),
+            p AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            ),
+            edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+                      UNION ALL SELECT vec_b, vec_a FROM p),
+            reach(src, dst) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+            )
+            SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY src
+        """,
     }
 
 

@@ -434,3 +434,26 @@ def cosine_neardup_lsh(
     return with_b.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
+
+
+def cosine_neardup_clusters(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    band_bits: int = 8,
+) -> ray.data.Dataset:
+    """(vec_id, cluster_id): transitive embedding near-duplicate
+    clusters — LSH-bucketed candidate pairs verified by exact cosine,
+    then distributed connected components (``functions/graph.py``).
+    ``cluster_id`` is the component-min vec_id (the canonical keep)."""
+    from ..functions.graph import connected_components
+
+    pairs = cosine_neardup_lsh(
+        sf_dir, threshold=threshold, n_bands=n_bands, band_bits=band_bits
+    )
+    cc = connected_components(pairs, "vec_a", "vec_b")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b["node"], "cluster_id": b["cluster_id"]})
+
+    return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

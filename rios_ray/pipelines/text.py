@@ -318,3 +318,63 @@ def stratified_sample(
     ).map_batches(
         sample, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
+
+
+def corpus_clean(
+    sf_dir: str,
+    min_quality: float = 0.7,
+    max_word_rep: float = 0.6,
+    lang: str = "en",
+) -> ray.data.Dataset:
+    """End-to-end corpus cleaning — the composed LLM-data pipeline:
+
+    1. language-ID filter (keep ``lang`` predictions),
+    2. quality-score floor,
+    3. word-repetition ceiling,
+    4. exact dedup among the survivors (normalized-md5 groups, min
+       doc_id wins).
+
+    Steps 1-3 plus the md5 are ONE streamed batch pass (all signals are
+    batch-local); the dedup is a single keyed exchange whose kernel
+    keeps each group's min-doc_id row.  Runs over the duplicate-injected
+    corpus (``dedup.dup_corpus``) so step 4 has real work.
+    Returns (doc_id, quality, word_rep_frac) of kept docs.
+    """
+    from ..functions.agg import hash_partitioned_groups
+    from .dedup import dup_corpus
+
+    def signals(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        b = A.quality_score(b)
+        b = A.lang_id(b)
+        b = A.repetition_stats(b)
+        b = A.md5_fingerprint(b)
+        q = b["quality"].to_numpy(zero_copy_only=False)
+        r = b["word_rep_frac"].to_numpy(zero_copy_only=False)
+        keep = pc.and_(
+            pa.array((q >= min_quality) & (r <= max_word_rep)),
+            pc.equal(b["lang_pred"], lang),
+        )
+        return b.filter(keep).select(
+            ["doc_id", "text_md5", "quality", "word_rep_frac"]
+        )
+
+    survivors = dup_corpus(sf_dir).map_batches(
+        signals, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+
+    def first_per_md5(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = tbl["text_md5"].to_numpy(zero_copy_only=False)
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, md5))
+        first = np.r_[True, md5[order][1:] != md5[order][:-1]]
+        return tbl.take(pa.array(order[first])).select(
+            ["doc_id", "quality", "word_rep_frac"]
+        )
+
+    return hash_partitioned_groups(survivors, ["text_md5"], first_per_md5)

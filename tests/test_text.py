@@ -310,3 +310,19 @@ def test_repetition_matches_duckdb(ray_session):
     """).df().reset_index(drop=True)
     for c in ("word_rep_frac", "top2gram_frac", "dup3gram_frac"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_corpus_clean(ray_session):
+    """Composite cleaning: every kept doc passes all three filters, and
+    injected exact copies are deduped to the min doc_id."""
+    from rios_ray.pipelines.dedup import COPY_OFFSET
+    from rios_ray.pipelines.text import corpus_clean
+
+    got = corpus_clean("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert (got["quality"] >= 0.7).all()
+    assert (got["word_rep_frac"] <= 0.6).all()
+    ids = set(got["doc_id"])
+    # an injected copy (id + offset) survives only if its original was
+    # filtered out — never alongside it
+    assert not any(i - COPY_OFFSET in ids for i in ids if i >= COPY_OFFSET)
