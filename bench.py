@@ -131,6 +131,16 @@ def run_bench() -> dict:
 
         return session_windows(sf_dir).count()
 
+    def clusters():
+        from rios_ray.pipelines.dedup import minhash_clusters
+
+        return minhash_clusters(sf_dir, threshold=0.5).count()
+
+    def clean():
+        from rios_ray.pipelines.text import corpus_clean
+
+        return corpus_clean(sf_dir).count()
+
     def media_frames():
         from rios_ray.pipelines.multimodal import frame_samples
 
@@ -147,6 +157,8 @@ def run_bench() -> dict:
         # non-spatial coverage (dedup / relational / windows / media) so
         # regressions there are visible per-round, not just in tests
         "dedup_minhash": minhash,
+        "dedup_clusters": clusters,
+        "corpus_clean": clean,
         "rel_q1": rel_q1,
         "rel_q5": rel_q5,
         "events_sessions": sessions,

@@ -219,33 +219,40 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
         cells = b["cell"].to_numpy()
         keep = np.isin(cells, union_)
         b = b.filter(pa_.array(keep))
-        out_qid, out_url, out_d2 = [], [], []
+        out_qid, out_idx, out_d2 = [], [], []
         if b.num_rows:
             cells = b["cell"].to_numpy()
             lon = b["lon"].to_numpy()
             lat = b["lat"].to_numpy()
-            url = np.asarray(b["url"].to_pylist(), dtype=object)
             for j in range(len(qid_)):
                 # per-query candidate mask BEFORE top-k (a union row must
                 # not evict a true candidate from this query's slots)
                 m = np.isin(cells, cand_[j])
                 if not m.any():
                     continue
-                dlon = lon[m] - qlon_[j]
-                dlat = lat[m] - qlat_[j]
+                rows = np.flatnonzero(m)
+                dlon = lon[rows] - qlon_[j]
+                dlat = lat[rows] - qlat_[j]
                 d2 = dlon * dlon + dlat * dlat
                 kk = min(k, len(d2))
                 top = np.argpartition(d2, kk - 1)[:kk] if kk < len(d2) else np.arange(len(d2))
                 out_qid.append(np.full(len(top), qid_[j], dtype=np.int64))
-                out_url.append(url[m][top])
+                out_idx.append(rows[top])
                 out_d2.append(d2[top])
         if not out_qid:
             return pa_.table({"qid": pa_.array([], type=pa_.int64()),
                               "url": pa_.array([], type=pa_.string()),
                               "d2": pa_.array([], type=pa_.float64())})
+        import pyarrow.compute as pc_
+
+        # one Arrow take for all queries' survivors — the url strings
+        # never round-trip through Python objects
+        urls = pc_.take(
+            b["url"].combine_chunks(), pa_.array(np.concatenate(out_idx))
+        )
         return pa_.table({
             "qid": pa_.array(np.concatenate(out_qid)),
-            "url": pa_.array(np.concatenate(out_url), type=pa_.string()),
+            "url": urls.cast(pa_.string()),
             "d2": pa_.array(np.concatenate(out_d2), type=pa_.float64()),
         })
 
