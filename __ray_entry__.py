@@ -277,6 +277,30 @@ def _q_hex_cells(sf_dir: str):
     return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "hex_cell"])
 
 
+def _q_radius_join(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import radius_join
+
+    return radius_join(sf_dir, radius=8.0)
+
+
+def _q_cell_rollup(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import cell_rollup
+
+    return cell_rollup(sf_dir)
+
+
+def _q_zonal_stats(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import zonal_stats
+
+    return zonal_stats(sf_dir)
+
+
+def _q_top_pages_per_host(sf_dir: str):
+    from rios_ray.pipelines.pages import top_pages_per_host
+
+    return top_pages_per_host(sf_dir, n=3)
+
+
 def _q_text_token_stats(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -608,6 +632,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pages_cellring": _q_knn_cellring,
         "s2_cells": _q_s2_cells,
         "hex_cells": _q_hex_cells,
+        "radius_join": _q_radius_join,
+        "cell_rollup": _q_cell_rollup,
+        "zonal_stats": _q_zonal_stats,
+        "top_pages_per_host": _q_top_pages_per_host,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
@@ -1257,6 +1285,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join_pairs": f"""
             SELECT url, poly_id FROM ({_pip_pairs_sql()})
+        """,
+        "top_pages_per_host": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   url, length(text) AS n_chars,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                       ORDER BY length(text) DESC, url) AS rank
+              FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+            QUALIFY rank <= 3
+        """,
+        "radius_join": f"""
+            WITH pts AS ({_pages_sql()})
+            SELECT q.qid, p.url,
+                   (p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+              FROM pts p CROSS JOIN read_parquet('{qpath}') q
+             WHERE (p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat) <= {8.0 * 8.0!r}
+        """,
+        "cell_rollup": " UNION ALL ".join(
+            f"""
+            SELECT CAST({r} AS BIGINT) AS res, {_cell_sql(r)} AS cell,
+                   count(*) AS n_pages
+              FROM ({_pages_sql()})
+             GROUP BY 1, 2"""
+            for r in (DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1, DEFAULT_GRID_RES - 2)
+        ),
+        "zonal_stats": f"""
+            WITH pts AS ({_pages_sql()}),
+            pairs AS ({_pip_pairs_sql()}),
+            j AS (SELECT pr.poly_id, length(pt.text) AS n_chars
+                    FROM pairs pr JOIN pts pt USING (url))
+            SELECT j.poly_id, pg.category,
+                   count(*) AS n_pages,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+              FROM j JOIN read_parquet('{ppath}') pg USING (poly_id)
+             GROUP BY 1, 2
         """,
         "pip_join_counts": f"""
             SELECT c.poly_id, p.category, count(*) AS n_pages

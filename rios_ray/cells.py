@@ -62,6 +62,25 @@ def grid_cell_yx(cell_id: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]
     return cell_id // nx, cell_id % nx
 
 
+def grid_parent(cell_id: np.ndarray, res: int) -> np.ndarray:
+    """Parent cell id one resolution coarser (4 children per parent).
+
+    Exact hierarchy: because the cell step doubles per coarser level
+    (``180 / 2**res``, a power-of-two scaling that IEEE-754 preserves
+    through division), ``grid_parent(grid_cell_id(lon, lat, res), res)
+    == grid_cell_id(lon, lat, res - 1)`` bit-for-bit — the floor-halving
+    identity ``floor(t/2) == floor(floor(t)/2)`` plus range clamps that
+    commute with the halving.  This is what lets multi-resolution
+    rollups aggregate child counts instead of re-scanning the corpus
+    (the pyramid-layers idea of the reference,
+    ``/root/reference/rios/calcstats.py`` overview levels).
+    """
+    if res < 1:
+        raise ValueError("res 0 has no parent")
+    cy, cx = grid_cell_yx(cell_id, res)
+    return (cy >> 1) * (2 << (res - 1)) + (cx >> 1)
+
+
 def grid_cell_ring(cell_id: int, res: int, ring: int) -> np.ndarray:
     """Cell ids at exactly ``ring`` Chebyshev distance from ``cell_id``.
 

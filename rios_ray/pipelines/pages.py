@@ -296,3 +296,39 @@ def host_counts(sf_dir: str) -> ray.data.Dataset:
         ds, ["host"],
         [(None, "count", "n_pages"), ("n_chars", "sum", "sum_chars")],
     )
+
+
+def top_pages_per_host(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Distributed windowed top-N: the ``n`` longest pages of every URL
+    host, ranked — ``ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+    n_chars DESC, url) <= n``.
+
+    Scale shape: a per-batch pre-cap (no batch needs to forward more
+    than ``n`` rows per host it sees) bounds the exchange at
+    ``n x hosts-per-batch`` rows, then one keyed exchange co-locates
+    each host and ranks with a single composite Arrow sort per
+    partition (``stages.skew.ranked_head_per_key``) — the window
+    function never sees a global sort.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+    from ..stages.skew import ranked_head_per_key
+
+    ORDER = [("n_chars", "descending"), ("url", "ascending")]
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "host": pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host"),
+            "url": b["url"],
+            "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+        # combiner: only each host's local top-n can be in the global top-n
+        return ranked_head_per_key(t, "host", n, ORDER).drop_columns(["rank"])
+
+    ds = read_pages(sf_dir, columns=["url", "text"], bundle_files=True).map_batches(
+        host_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+    return hash_partitioned_groups(
+        ds, ["host"], lambda t: ranked_head_per_key(t, "host", n, ORDER)
+    )

@@ -1,0 +1,212 @@
+"""Extended spatial operators: radius (DWITHIN) join, hierarchical cell
+rollup, per-polygon zonal statistics.
+
+These extend the PIP/kNN join family (``pipelines.pages``) with the
+remaining classic geospatial query shapes, each built on the same two
+scale primitives:
+
+- **cell pruning** — a broadcast driver plan turns a geometric
+  predicate into a candidate cell-id set, so the scan touches only
+  rows whose cell can possibly satisfy it (the key-space analogue of
+  the reference's block margin windowing,
+  ``/root/reference/rios/applier.py:253-268``);
+- **combiner-first aggregation** — per-batch partials before the one
+  keyed exchange (``functions.agg``).
+
+Zonal statistics mirror the reference's per-region stats idea
+(``/root/reference/rios/calcstats.py`` single-pass accumulators) keyed
+by polygon instead of by file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .. import cells as C
+from .. import synth
+from ..functions.agg import grouped_count, hash_grouped_aggregate
+from ..stages.cellassign import DEFAULT_GRID_RES
+from ..stages.pip import pip_join_fn
+from .pages import BATCH_SIZE, geocoded_pages
+
+
+def radius_join(
+    sf_dir: str,
+    radius: float = 8.0,
+    grid_res: int = DEFAULT_GRID_RES,
+) -> ray.data.Dataset:
+    """DWITHIN join: every (query point, page) pair within ``radius``
+    degrees (planar), exact.
+
+    Scale shape: the driver plans each query's candidate cell set —
+    the grid cells intersecting its radius bbox (Chebyshev superset of
+    the Euclidean disk) — and broadcasts one small tuple via
+    ``ray.put``.  Each batch filters to the union set with one
+    vectorized ``isin`` and refines per query on the survivors only;
+    no shuffle, no per-row Python.  Work is proportional to the rows
+    inside candidate cells, not the corpus, so a localized query set
+    over 10^12 rows touches a fixed fraction of blocks (and column
+    pruning keeps those reads to 3 columns).
+
+    The per-query loop is over the *broadcast query list* (bounded,
+    driver-supplied), never over rows.
+    """
+    qpath = synth.ensure_knn_queries()
+    qt = pq.read_table(qpath)
+    qid = qt["qid"].to_numpy()
+    qlon = qt["qlon"].to_numpy()
+    qlat = qt["qlat"].to_numpy()
+    r2 = radius * radius
+
+    cand = [
+        C.grid_cells_in_bbox(
+            float(qlon[j] - radius), float(qlon[j] + radius),
+            float(qlat[j] - radius), float(qlat[j] + radius), grid_res,
+        )
+        for j in range(len(qid))
+    ]
+    union_cells = np.unique(np.concatenate(cand))
+    q_ref = ray.put((qid, qlon, qlat, cand, union_cells))
+
+    def within(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qid_, qlon_, qlat_, cand_, union_ = ray.get(q_ref)
+        cells = b["cell"].to_numpy()
+        b = b.filter(pa.array(np.isin(cells, union_)))
+        out_qid, out_idx, out_d2 = [], [], []
+        if b.num_rows:
+            cells = b["cell"].to_numpy()
+            lon = b["lon"].to_numpy()
+            lat = b["lat"].to_numpy()
+            for j in range(len(qid_)):
+                rows = np.flatnonzero(np.isin(cells, cand_[j]))
+                if not len(rows):
+                    continue
+                dlon = lon[rows] - qlon_[j]
+                dlat = lat[rows] - qlat_[j]
+                d2 = dlon * dlon + dlat * dlat
+                hit = d2 <= r2
+                if not hit.any():
+                    continue
+                out_qid.append(np.full(int(hit.sum()), qid_[j], dtype=np.int64))
+                out_idx.append(rows[hit])
+                out_d2.append(d2[hit])
+        if not out_qid:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "url": pa.array([], type=pa.string()),
+                             "d2": pa.array([], type=pa.float64())})
+        urls = pc.take(b["url"].combine_chunks(),
+                       pa.array(np.concatenate(out_idx)))
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_qid)),
+            "url": urls.cast(pa.string()),
+            "d2": pa.array(np.concatenate(out_d2), type=pa.float64()),
+        })
+
+    return geocoded_pages(sf_dir, keep_text=False, grid_res=grid_res).map_batches(
+        within, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+
+
+def cell_rollup(
+    sf_dir: str,
+    res: int = DEFAULT_GRID_RES,
+    levels: int = 3,
+) -> ray.data.Dataset:
+    """Multi-resolution page counts: ``(res, cell, n_pages)`` for the
+    base resolution and ``levels - 1`` coarser parents (the H3
+    compact / tile-pyramid rollup shape; reference analogue: overview
+    pyramid layers, ``/root/reference/rios/calcstats.py``).
+
+    One streaming pass: each batch emits its cell id at every level
+    (child -> parent is pure bit math, ``cells.grid_parent``), then a
+    single combiner-first aggregate — the per-batch partial collapses
+    to distinct ``(res, cell)`` pairs before anything moves, and the
+    final combine is one tree task because total key cardinality is
+    bounded by the grid (sum of 4^-k shrinking levels), independent of
+    corpus size.
+    """
+    if levels < 1 or levels > res:
+        raise ValueError("need 1 <= levels <= res")
+
+    def explode_levels(b: pa.Table) -> pa.Table:
+        cells = b["cell"].to_numpy()
+        out_res, out_cell = [], []
+        cur, r = cells, res
+        for i in range(levels):
+            out_res.append(np.full(len(cur), r, dtype=np.int64))
+            out_cell.append(cur)
+            if i + 1 < levels:
+                cur = C.grid_parent(cur, r)
+                r -= 1
+        return pa.table({
+            "res": pa.array(np.concatenate(out_res)),
+            "cell": pa.array(np.concatenate(out_cell)),
+        })
+
+    ds = geocoded_pages(sf_dir, keep_text=False, grid_res=res).select_columns(
+        ["cell"]
+    ).map_batches(
+        explode_levels, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    return grouped_count(ds, ["res", "cell"], alias="n_pages", final_mode="tree")
+
+
+def zonal_stats(sf_dir: str, grid_res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
+    """Per-polygon zonal statistics over page text size: for every
+    polygon, the count / sum / min / max / mean of contained pages'
+    extracted-text length.
+
+    The PIP broadcast join tags each page with its containing
+    polygon(s); ``n_chars`` is computed *before* the join so the join
+    output carries two int columns instead of the text.  The aggregate
+    is combiner-first with a tree final (polygon cardinality is the
+    broadcast layer's, i.e. tiny).  ``mean_chars`` is derived after the
+    final combine as exact-int ``sum / count`` in float64 — the same
+    expression the SQL oracle uses, so it hashes identically.
+    """
+    import pyarrow.compute as pc
+
+    ppath, _ = synth.ensure_polygons()
+    polys_ref = ray.put(pq.read_table(ppath))
+
+    def with_n_chars(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_chars", pc.utf8_length(b["extracted_text"]).cast(pa.int64())
+        )
+
+    ds = (
+        geocoded_pages(sf_dir, keep_text=True, grid_res=grid_res)
+        .map_batches(with_n_chars, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=BATCH_SIZE)
+        .map_batches(
+            pip_join_fn(polys_ref, keep_cols=["n_chars"]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE,
+        )
+    )
+    agg = hash_grouped_aggregate(
+        ds, ["poly_id", "category"],
+        [
+            (None, "count", "n_pages"),
+            ("n_chars", "sum", "sum_chars"),
+            ("n_chars", "min", "min_chars"),
+            ("n_chars", "max", "max_chars"),
+        ],
+        final_mode="tree",
+    )
+
+    def add_mean(b: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            pc.cast(b["sum_chars"], pa.float64()),
+            pc.cast(b["n_pages"], pa.float64()),
+        )
+        return b.append_column("mean_chars", mean)
+
+    return agg.map_batches(add_mean, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

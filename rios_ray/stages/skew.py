@@ -44,6 +44,43 @@ def head_per_key(table: pa.Table, key_col: str, cap: int, order_col: str) -> pa.
     return tbl.filter(pa.array(pos_in_run < cap))
 
 
+def ranked_head_per_key(
+    table: pa.Table,
+    key_col: str,
+    n: int,
+    sort_keys: list[tuple[str, str]],
+    rank_col: str = "rank",
+) -> pa.Table:
+    """ROW_NUMBER()-style per-key top-N with a composite ordering.
+
+    Keeps the first ``n`` rows of every key under ``sort_keys`` (a list
+    of ``(col, "ascending" | "descending")``) and appends a 1-based
+    ``rank_col``.  Vectorized like :func:`head_per_key`: one Arrow C++
+    composite sort, then run-length rank positions — string keys are
+    dictionary-encoded (post-sort, so equal neighbors share a code)
+    rather than materialized as Python objects.
+
+    Used inside a ``hash_partitioned_groups`` stage, this is the
+    distributed window-function ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ...) <= n``.
+    """
+    if table.num_rows == 0:
+        return table.append_column(rank_col, pa.array([], type=pa.int64()))
+    tbl = table.sort_by([(key_col, "ascending")] + list(sort_keys))
+    col = tbl[key_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        keys = col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    else:
+        keys = col.to_numpy(zero_copy_only=False)
+    new_run = np.concatenate([[True], keys[1:] != keys[:-1]])
+    run_id = np.cumsum(new_run) - 1
+    run_start = np.flatnonzero(new_run)
+    pos_in_run = np.arange(len(keys)) - run_start[run_id]
+    tbl = tbl.append_column(rank_col, pa.array(pos_in_run + 1, type=pa.int64()))
+    return tbl.filter(pa.array(pos_in_run < n))
+
+
 def _salt_of(order_vals: np.ndarray, n_salts: int) -> np.ndarray:
     """Deterministic salt from the order column (spreads a hot key's
     rows across ``n_salts`` subgroups)."""

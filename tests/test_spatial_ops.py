@@ -1,0 +1,206 @@
+r"""Extended spatial operators: radius join, cell rollup, zonal stats,
+ranked per-key top-N — each against an independent DuckDB oracle at
+sf0.001, plus pure-numpy hierarchy properties."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from rios_ray import cells, synth
+from rios_ray.stages.skew import ranked_head_per_key
+
+SF = "/root/testdata/sf0.001"
+
+_GEO = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def _pts_sql():
+    path = synth.pages_path(SF)
+    return rf"""
+        SELECT url, text,
+               CAST(regexp_extract(text, '{_GEO}', 1) AS DOUBLE) AS lat,
+               CAST(regexp_extract(text, '{_GEO}', 2) AS DOUBLE) AS lon
+          FROM read_parquet('{path}/*.parquet')
+    """
+
+
+# ---------------------------------------------------------------------------
+# grid_parent hierarchy (pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_parent_matches_direct_coarse_binning():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 50000)
+    lat = rng.uniform(-90, 90, 50000)
+    for res in (3, 7, 9):
+        child = cells.grid_cell_id(lon, lat, res)
+        np.testing.assert_array_equal(
+            cells.grid_parent(child, res), cells.grid_cell_id(lon, lat, res - 1)
+        )
+
+
+def test_grid_parent_edge_clamps():
+    # poles / antimeridian / exact cell boundaries
+    lon = np.array([-180.0, 180.0, 0.0, 179.999999, -1e-12])
+    lat = np.array([90.0, -90.0, 0.0, -89.999999, 1e-12])
+    for res in (1, 5):
+        child = cells.grid_cell_id(lon, lat, res)
+        np.testing.assert_array_equal(
+            cells.grid_parent(child, res), cells.grid_cell_id(lon, lat, res - 1)
+        )
+
+
+def test_grid_parent_four_children():
+    # every res-(r) cell maps to exactly one parent; a parent's children
+    # are a contiguous 2x2 block
+    res = 4
+    ny, nx = 1 << res, 2 << res
+    all_cells = np.arange(ny * nx, dtype=np.int64)
+    parents = cells.grid_parent(all_cells, res)
+    _, counts = np.unique(parents, return_counts=True)
+    assert (counts == 4).all()
+
+
+# ---------------------------------------------------------------------------
+# ranked_head_per_key (pure table)
+# ---------------------------------------------------------------------------
+
+
+def test_ranked_head_per_key_vs_duckdb():
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "k": pa.array([f"h{int(x)}" for x in rng.integers(0, 40, 3000)]),
+            "v": pa.array(rng.integers(0, 50, 3000)),  # heavy ties
+            "u": pa.array([f"u{i:05d}" for i in rng.permutation(3000)]),
+        }
+    )
+    got = ranked_head_per_key(
+        t, "k", 4, [("v", "descending"), ("u", "ascending")]
+    ).to_pandas()
+    want = duckdb.sql("""
+        SELECT k, v, u,
+               row_number() OVER (PARTITION BY k ORDER BY v DESC, u) AS rank
+          FROM t QUALIFY rank <= 4
+    """).df()
+    gs = sorted(map(tuple, got[["k", "v", "u", "rank"]].itertuples(index=False)))
+    ws = sorted(map(tuple, want[["k", "v", "u", "rank"]].itertuples(index=False)))
+    assert gs == ws
+
+
+def test_ranked_head_per_key_empty():
+    t = pa.table({"k": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.int64())})
+    out = ranked_head_per_key(t, "k", 3, [("v", "ascending")])
+    assert out.num_rows == 0
+    assert "rank" in out.column_names
+
+
+# ---------------------------------------------------------------------------
+# distributed pipelines vs DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def test_radius_join_vs_duckdb(ray_session):
+    from rios_ray.pipelines.spatial_ops import radius_join
+
+    synth.ensure_pages(SF)
+    qpath = synth.ensure_knn_queries()
+    r = 8.0
+    got = radius_join(SF, radius=r).to_pandas()
+    want = duckdb.sql(f"""
+        WITH pts AS ({_pts_sql()})
+        SELECT q.qid, p.url,
+               (p.lon - q.qlon) * (p.lon - q.qlon)
+             + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+          FROM pts p CROSS JOIN read_parquet('{qpath}') q
+         WHERE (p.lon - q.qlon) * (p.lon - q.qlon)
+             + (p.lat - q.qlat) * (p.lat - q.qlat) <= {r * r!r}
+    """).df()
+    assert len(got) == len(want) > 0
+    g = set(zip(got["qid"], got["url"], got["d2"]))
+    w = set(zip(want["qid"], want["url"], want["d2"]))
+    assert g == w
+
+
+def test_cell_rollup_vs_duckdb(ray_session):
+    from rios_ray.pipelines.spatial_ops import cell_rollup
+    from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+    synth.ensure_pages(SF)
+    got = cell_rollup(SF, res=DEFAULT_GRID_RES, levels=3).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{synth.pages_path(SF)}/*.parquet')"
+    ).fetchone()[0]
+    # every level partitions the corpus
+    sums = got.groupby("res")["n_pages"].sum()
+    assert set(sums.index) == {DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1,
+                               DEFAULT_GRID_RES - 2}
+    assert (sums == total).all()
+    # parent count == sum of its children's counts
+    base = got[got["res"] == DEFAULT_GRID_RES]
+    par = got[got["res"] == DEFAULT_GRID_RES - 1]
+    child_parents = cells.grid_parent(
+        base["cell"].to_numpy(), DEFAULT_GRID_RES
+    )
+    import pandas as pd
+
+    rolled = (
+        pd.DataFrame({"cell": child_parents, "n": base["n_pages"].to_numpy()})
+        .groupby("cell")["n"].sum()
+    )
+    merged = par.set_index("cell")["n_pages"].sort_index()
+    assert (rolled.sort_index() == merged).all()
+
+
+def test_zonal_stats_vs_duckdb(ray_session):
+    from rios_ray.pipelines.spatial_ops import zonal_stats
+
+    synth.ensure_pages(SF)
+    ppath, _ = synth.ensure_polygons()
+    epath = synth.edges_path()
+    got = zonal_stats(SF).to_pandas().sort_values("poly_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH pts AS ({_pts_sql()}),
+        cross_counts AS (
+            SELECT p.url, e.poly_id, count(*) AS n_cross
+              FROM pts p JOIN read_parquet('{epath}') e
+                ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+               AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+             GROUP BY p.url, e.poly_id),
+        pairs AS (SELECT url, poly_id FROM cross_counts WHERE n_cross % 2 = 1),
+        j AS (SELECT pr.poly_id, length(pt.text) AS n_chars
+                FROM pairs pr JOIN pts pt USING (url))
+        SELECT j.poly_id, pg.category, count(*) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+          FROM j JOIN read_parquet('{ppath}') pg USING (poly_id)
+         GROUP BY 1, 2 ORDER BY 1
+    """).df()
+    assert len(got) == len(want) > 0
+    for c in ("poly_id", "n_pages", "sum_chars", "min_chars", "max_chars"):
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
+    np.testing.assert_array_equal(got["mean_chars"].to_numpy(),
+                                  want["mean_chars"].to_numpy())
+
+
+def test_top_pages_per_host_vs_duckdb(ray_session):
+    from rios_ray.pipelines.pages import top_pages_per_host
+
+    synth.ensure_pages(SF)
+    path = synth.pages_path(SF)
+    got = top_pages_per_host(SF, n=2).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               url, length(text) AS n_chars,
+               row_number() OVER (
+                   PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                   ORDER BY length(text) DESC, url) AS rank
+          FROM read_parquet('{path}/*.parquet')
+        QUALIFY rank <= 2
+    """).df()
+    g = sorted(map(tuple, got[["host", "url", "n_chars", "rank"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["host", "url", "n_chars", "rank"]].itertuples(index=False)))
+    assert g == w and len(g) > 0
