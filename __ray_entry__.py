@@ -393,6 +393,12 @@ def _q_dedup_exact(sf_dir: str):
     return D.exact_dedup(sf_dir)
 
 
+def _q_dedup_paragraphs(sf_dir: str):
+    from rios_ray.pipelines.text import paragraph_dedup
+
+    return paragraph_dedup(sf_dir, sep=" the ")
+
+
 def _q_dedup_jaccard(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -650,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
@@ -750,6 +757,22 @@ def _text_oracle_sql() -> dict[str, str]:
               / GREATEST(length(text),1)) * 10.0))*0.2
     """
     return {
+        # CCNet-style paragraph dedup (synthetic corpus has no newlines,
+        # so ' the ' stands in as the paragraph separator — same code
+        # path): keep the globally-first (doc_id, position) occurrence
+        # of each distinct paragraph, rebuild docs from survivors
+        "dedup_paragraphs": """
+            WITH s AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+            p0 AS (SELECT doc_id, unnest(l) AS para,
+                          generate_subscripts(l, 1) AS i FROM s),
+            p AS (SELECT * FROM p0 WHERE para <> ''),
+            k AS (SELECT doc_id, i, para,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, i) AS rn
+                    FROM p)
+            SELECT doc_id, string_agg(para, ' the ' ORDER BY i) AS text
+              FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
         # composed cleaning pipeline: lang filter + quality floor +
         # word-repetition ceiling + exact dedup (min doc_id per
         # normalized md5) over the duplicate-injected corpus

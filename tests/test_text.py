@@ -326,3 +326,34 @@ def test_corpus_clean(ray_session):
     # an injected copy (id + offset) survives only if its original was
     # filtered out — never alongside it
     assert not any(i - COPY_OFFSET in ids for i in ids if i >= COPY_OFFSET)
+
+
+def test_paragraph_dedup_vs_duckdb(ray_session, con):
+    # token-level separator: aggressive dedup, exercises empty-survivor
+    # docs; plus a multi-token separator closer to real paragraphs
+    for sep in (" ", " the "):
+        got = T.paragraph_dedup(SF, sep=sep).to_pandas()
+        want = con.execute(f"""
+            WITH s AS (SELECT doc_id, string_split(text, '{sep}') AS l FROM docs),
+            p0 AS (SELECT doc_id, unnest(l) AS para,
+                          generate_subscripts(l, 1) AS i FROM s),
+            p AS (SELECT * FROM p0 WHERE para <> ''),
+            k AS (SELECT doc_id, i, para,
+                         row_number() OVER (PARTITION BY para
+                                            ORDER BY doc_id, i) AS rn FROM p)
+            SELECT doc_id, string_agg(para, '{sep}' ORDER BY i) AS text
+              FROM k WHERE rn = 1 GROUP BY doc_id
+        """).df()
+        g = dict(zip(got["doc_id"], got["text"]))
+        w = dict(zip(want["doc_id"], want["text"]))
+        assert g == w and len(g) > 0
+
+
+def test_paragraph_dedup_first_doc_intact(ray_session):
+    # the lowest doc_id's paragraphs are all first occurrences -> its
+    # text survives byte-identical
+    got = T.paragraph_dedup(SF, sep=" the ").to_pandas()
+    first = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas()
+    first = first.sort_values("doc_id").iloc[0]
+    out = got[got["doc_id"] == first["doc_id"]]["text"].iloc[0]
+    assert out == first["text"]
