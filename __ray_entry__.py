@@ -475,6 +475,12 @@ def _q_rel_q18(sf_dir: str):
     return q18_big_orders(sf_dir, min_qty=200)
 
 
+def _q_rel_q10(sf_dir: str):
+    from rios_ray.pipelines.relational import q10_returned_revenue
+
+    return q10_returned_revenue(sf_dir)
+
+
 def _q_rel_q14(sf_dir: str):
     from rios_ray.pipelines import relational as R
 
@@ -671,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q22_idle_customers": _q_rel_q22,
         "rel_q14_type_revenue": _q_rel_q14,
         "rel_q18_big_orders": _q_rel_q18,
+        "rel_q10_returned_revenue": _q_rel_q10,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -1125,6 +1132,28 @@ def _relational_oracle_sql() -> dict[str, str]:
     rev = ("CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)"
            " AS BIGINT)) AS BIGINT)")
     return {
+        "rel_q10_returned_revenue": f"""
+            WITH percust AS (
+                SELECT o.o_custkey, {rev} AS revenue_cents
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_returnflag = 'R'
+                   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+                 GROUP BY 1
+            ),
+            topk AS (
+                SELECT o_custkey AS c_custkey, revenue_cents
+                  FROM percust
+                 ORDER BY revenue_cents DESC, o_custkey
+                 LIMIT 20
+            )
+            SELECT t.c_custkey, t.revenue_cents, c.c_name,
+                   CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+                   n.n_name
+              FROM topk t
+              JOIN customer c ON c.c_custkey = t.c_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+        """,
         "rel_q1_pricing": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

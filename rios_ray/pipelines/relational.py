@@ -574,3 +574,110 @@ def q22_idle_customers(sf_dir: str, priority: str = "1-URGENT") -> ray.data.Data
         ["c_nationkey"],
         [(None, "count", "numcust"), ("cents", "sum", "total_cents")],
     )
+
+
+def q10_returned_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Q10-style returned-item report: top-``k`` customers by revenue
+    from RETURNED lines of orders placed in one quarter, annotated with
+    balance and nation.
+
+    The four-table shape done scale-first: both fact scans are pruned
+    and filtered per batch *before* the one partitioned orders x
+    lineitem exchange; revenue aggregates combiner-first per customer
+    key; the global top-k is the distributed local-cut + tiny merge
+    (``functions.agg.distributed_topk``), never a global sort; and the
+    customer / nation attributes are attached to the ``k`` survivors
+    only — a broadcast back-join over k rows, not a fourth join over
+    the fact stream.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import distributed_topk
+    from ..functions.join import partitioned_lookup_join
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    def returned(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(returned, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH)
+
+    joined = partitioned_lookup_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("rev_cents", pa.int64())],
+        [("o_custkey", pa.int64(), "o_custkey")],
+        _join_partitions(),
+    )
+    per_cust = hash_grouped_aggregate(
+        joined, ["o_custkey"], [("rev_cents", "sum", "revenue_cents")]
+    )
+    top = distributed_topk(per_cust, k, ["revenue_cents", "o_custkey"], [False, True])
+
+    # back-join customer + nation attributes onto the k survivors
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    ckeys = cust["c_custkey"].to_numpy()
+    c_ord = np.argsort(ckeys)
+    nkey = nation["n_nationkey"].to_numpy()
+    nat_names = [""] * (int(nkey.max()) + 1)
+    for kk, nm in zip(nkey, nation["n_name"].to_pylist()):
+        nat_names[int(kk)] = nm
+    names = cust["c_name"].combine_chunks().take(pa.array(c_ord))
+    dims_ref = ray.put(
+        (
+            ckeys[c_ord],
+            names,
+            cust["c_nationkey"].to_numpy().astype(np.int32)[c_ord],
+            _cents(cust["c_acctbal"].to_numpy())[c_ord],
+            nat_names,
+        )
+    )
+
+    def annotate(df):
+        import pandas as pd  # noqa: F401
+
+        ck_s, names_, cn_s, bal_s, nat_names_ = ray.get(dims_ref)
+        ck = df["o_custkey"].to_numpy()
+        pos = np.searchsorted(ck_s, ck)  # custkeys exist by FK integrity
+        out = df.rename(columns={"o_custkey": "c_custkey"}).copy()
+        out["c_name"] = np.asarray(names_.take(pa.array(pos)).to_pylist(), dtype=object)
+        out["acctbal_cents"] = bal_s[pos]
+        out["n_name"] = np.asarray(nat_names_, dtype=object)[cn_s[pos]]
+        return out
+
+    return top.map_batches(annotate, batch_format="pandas", batch_size=None)

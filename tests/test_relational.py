@@ -228,3 +228,30 @@ def test_exists_join_edge_cases(ray_session):
         left, empty_right, "k", "rk", cols, 4, anti=True
     ).to_pandas()
     assert sorted(anti_all["k"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_q10(ray_session, con):
+    got = R.q10_returned_revenue(SF, k=15).to_pandas()
+    want = con.execute("""
+        WITH percust AS (
+            SELECT o_custkey,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                            AS BIGINT)) AS revenue_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_returnflag = 'R'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate <  TIMESTAMP '1996-04-01'
+             GROUP BY 1),
+        topk AS (SELECT o_custkey AS c_custkey, revenue_cents FROM percust
+                 ORDER BY revenue_cents DESC, o_custkey LIMIT 15)
+        SELECT t.c_custkey, t.revenue_cents, c.c_name,
+               CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+               n.n_name
+          FROM topk t
+          JOIN customer c ON c.c_custkey = t.c_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+         ORDER BY t.revenue_cents DESC, t.c_custkey""").df()
+    got = got.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    for c in ("c_custkey", "revenue_cents", "c_name", "acctbal_cents", "n_name"):
+        assert got[c].tolist() == want[c].tolist(), c
