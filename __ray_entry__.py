@@ -301,6 +301,12 @@ def _q_top_pages_per_host(sf_dir: str):
     return top_pages_per_host(sf_dir, n=3)
 
 
+def _q_url_canonical(sf_dir: str):
+    from rios_ray.pipelines.pages import url_canonical
+
+    return url_canonical(sf_dir)
+
+
 def _q_text_token_stats(sf_dir: str):
     from rios_ray.pipelines import text as T
 
@@ -648,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rollup": _q_cell_rollup,
         "zonal_stats": _q_zonal_stats,
         "top_pages_per_host": _q_top_pages_per_host,
+        "url_canonical": _q_url_canonical,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
@@ -1337,6 +1344,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pip_join_pairs": f"""
             SELECT url, poly_id FROM ({_pip_pairs_sql()})
+        """,
+        "url_canonical": rf"""
+            WITH u AS (
+              SELECT url,
+                     lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]+)(.*)$', 1)) AS scheme,
+                     lower(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]+)(.*)$', 2)) AS host0,
+                     regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]+)(.*)$', 3) AS rest0
+                FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')),
+            h AS (SELECT url, scheme,
+                         regexp_replace(regexp_replace(host0, '^www\.', ''),
+                                        ':(80|443)$', '') AS host,
+                         regexp_replace(rest0, '#.*$', '') AS rest
+                    FROM u),
+            pq0 AS (SELECT url, scheme, host,
+                          regexp_extract(rest, '^([^?]*)', 1) AS path0,
+                          CASE WHEN position('?' IN rest) > 0
+                               THEN regexp_replace(regexp_replace(
+                                      regexp_extract(rest, '\?(.*)$', 1),
+                                      '(^|&)utm_[^&]*', '', 'g'), '^&+', '')
+                               ELSE '' END AS q
+                     FROM h),
+            p2 AS (SELECT url, scheme, host, q,
+                          CASE WHEN regexp_replace(path0, '(.)/$', '\1') = ''
+                               THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1')
+                          END AS path
+                     FROM pq0)
+            SELECT url,
+                   scheme || '://' || host || path
+                     || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                   CAST(len(regexp_extract_all(path, '/'))
+                        - CASE WHEN path LIKE '%/' THEN 1 ELSE 0 END
+                        AS BIGINT) AS path_depth
+              FROM p2
         """,
         "top_pages_per_host": f"""
             SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,

@@ -332,3 +332,20 @@ def top_pages_per_host(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     return hash_partitioned_groups(
         ds, ["host"], lambda t: ranked_head_per_key(t, "host", n, ORDER)
     )
+
+
+def url_canonical(sf_dir: str) -> ray.data.Dataset:
+    """Crawl URL canonicalization: (url, canon_url, domain, path_depth).
+
+    One pruned single-column read -> one vectorized RE2 stage
+    (``text.urls.canonical_batch``); row-local, shuffle-free, the
+    cheapest possible 100 TB shape.  The canonical form is the usual
+    pre-dedup normalizer (lowercased scheme/host, www/default-port
+    stripped, fragment + utm params dropped, trailing slash trimmed).
+    """
+    from ..text.urls import canonical_batch
+
+    return read_pages(sf_dir, columns=["url"], bundle_files=True).map_batches(
+        canonical_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
