@@ -566,6 +566,31 @@ def _q_rat_derive(sf_dir: str):
     return R.rat_apply(user_fn, f"{sf_dir}/documents.parquet", block_len=100_000)
 
 
+def _q_rat_derive_store(sf_dir: str):
+    """Same derive as rat_derive, but through the chunked columnar RAT
+    store (zarr-analogue backend): parquet -> chunk store -> chunk-
+    parallel apply with per-(column, chunk) object I/O -> read back."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rios_ray.sources.ratstore import RatChunkStore, rat_apply_store
+
+    def user_fn(inputs, outputs):
+        outputs.doc_id = inputs.doc_id
+        outputs.chars_k = inputs.n_chars / 1000.0
+        outputs.long_doc = (inputs.n_chars > 500).astype(np.int32)
+
+    base = f"/tmp/graft_scratch/ratstore-{uuid.uuid4().hex}"
+    os.makedirs(base, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    store = RatChunkStore.from_table(t, f"{base}/in.ratz", chunk_len=200)
+    out = rat_apply_store(user_fn, store, f"{base}/out.ratz")
+    return out.read_all(["doc_id", "chars_k", "long_doc"])
+
+
 def _q_rat_colstats(sf_dir: str):
     import pandas as pd
 
@@ -693,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
         "rat_derive": _q_rat_derive,
+        "rat_derive_store": _q_rat_derive_store,
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
         "media_frame_samples": _q_media_frame_samples,
@@ -1023,6 +1049,11 @@ def _dedup_oracle_sql() -> dict[str, str]:
     """
     return {
         "rat_derive": """
+            SELECT doc_id, n_chars/1000.0 AS chars_k,
+                   CAST(n_chars > 500 AS INT) AS long_doc
+              FROM documents
+        """,
+        "rat_derive_store": """
             SELECT doc_id, n_chars/1000.0 AS chars_k,
                    CAST(n_chars > 500 AS INT) AS long_doc
               FROM documents
