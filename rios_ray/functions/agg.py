@@ -59,7 +59,7 @@ def hash_grouped_aggregate(
     ds,
     keys: list[str],
     aggs: list[tuple[str | None, str, str]],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     final_mode: str = "partition",
 ):
     """General partial+final aggregate: ``aggs`` is a list of
@@ -77,6 +77,8 @@ def hash_grouped_aggregate(
       (grid cells x categories), since the final combine is one task.
     """
 
+    if num_partitions is None:
+        num_partitions = cluster_partitions()
     tree = final_mode == "tree"
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -164,7 +166,7 @@ def hash_partitioned_groups(ds, keys: list[str], partition_fn,
     )
 
 
-def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int = 16,
+def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int | None = None,
                   final_mode: str = "partition"):
     """count(*) per key group, pre-aggregated per batch."""
     return hash_grouped_aggregate(
@@ -172,7 +174,7 @@ def grouped_count(ds, keys: list[str], alias: str = "n", num_partitions: int = 1
     )
 
 
-def grouped_sum(ds, keys: list[str], value_col: str, alias: str, num_partitions: int = 16,
+def grouped_sum(ds, keys: list[str], value_col: str, alias: str, num_partitions: int | None = None,
                 final_mode: str = "partition"):
     """sum(value) per key group, pre-aggregated per batch."""
     return hash_grouped_aggregate(

@@ -34,7 +34,7 @@ def partitioned_lookup_join(
     right_key: str,
     left_cols: list[tuple[str, pa.DataType]],
     attach_cols: list[tuple[str, pa.DataType, str]],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Inner lookup join: keep left rows whose ``left_key`` exists in
     ``right`` (keyed uniquely by ``right_key``), attaching each
@@ -121,7 +121,7 @@ def partitioned_exists_join(
     left_key: str,
     right_key: str,
     left_cols: list[tuple[str, pa.DataType]],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     anti: bool = False,
 ):
     """Distributed EXISTS (semi) / NOT EXISTS (anti) join: keep left

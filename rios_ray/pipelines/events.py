@@ -297,7 +297,7 @@ def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
             schema=pa.schema([("window", pa.int64()), ("n_users_approx", pa.float64())]),
         )
 
-    return hash_partitioned_groups(ds, ["window"], merge, num_partitions=8)
+    return hash_partitioned_groups(ds, ["window"], merge)
 
 
 def _user_segments(rank: np.ndarray, e: np.ndarray):
