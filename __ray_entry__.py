@@ -487,6 +487,12 @@ def _q_rel_q10(sf_dir: str):
     return q10_returned_revenue(sf_dir)
 
 
+def _q_rel_q4_bloom(sf_dir: str):
+    from rios_ray.pipelines.relational import q4_order_priority
+
+    return q4_order_priority(sf_dir, use_bloom=True)
+
+
 def _q_rel_q14(sf_dir: str):
     from rios_ray.pipelines import relational as R
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q14_type_revenue": _q_rel_q14,
         "rel_q18_big_orders": _q_rel_q18,
         "rel_q10_returned_revenue": _q_rel_q10,
+        "rel_q4_bloom": _q_rel_q4_bloom,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -1250,6 +1257,14 @@ def _relational_oracle_sql() -> dict[str, str]:
                AND l_quantity < 24
         """,
         "rel_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_returnflag = 'R')
+             GROUP BY o_orderpriority
+        """,
+        "rel_q4_bloom": """
             SELECT o_orderpriority, count(*) AS order_count
               FROM orders
              WHERE EXISTS (SELECT 1 FROM lineitem

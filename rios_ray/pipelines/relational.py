@@ -453,7 +453,9 @@ def q18_big_orders(
     )
 
 
-def q4_order_priority(sf_dir: str, returnflag: str = "R") -> ray.data.Dataset:
+def q4_order_priority(
+    sf_dir: str, returnflag: str = "R", use_bloom: bool = False
+) -> ray.data.Dataset:
     """Q4-style order-priority check: count orders per priority where
     EXISTS a lineitem with the given return flag.
 
@@ -464,6 +466,14 @@ def q4_order_priority(sf_dir: str, returnflag: str = "R") -> ray.data.Dataset:
     (``functions/join.py:partitioned_exists_join``); the surviving
     orders feed the usual combiner-first grouped count.  Group
     cardinality is the priority enum, so the final merge is tiny.
+
+    ``use_bloom=True`` adds the bloom pre-filter (``functions/bloom``):
+    one extra streaming pass builds a bitmap over the flagged lineitem
+    keys, broadcast once, and orders rows that cannot match are dropped
+    *before* the exchange.  Bloom false positives are resolved by the
+    exact join that follows, so the result is identical — the knob
+    trades a cheap re-scan for exchange volume, which wins whenever the
+    semi-join is selective at scale.
     """
     import pyarrow.compute as pc
 
@@ -475,6 +485,22 @@ def q4_order_priority(sf_dir: str, returnflag: str = "R") -> ray.data.Dataset:
         flagged, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    if use_bloom:
+        from ..functions.bloom import bloom_contains, bloom_from_dataset
+
+        words = bloom_from_dataset(li, "l_orderkey")
+        w_ref = ray.put(words)
+
+        def prefilter(b: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(bloom_contains(w, keys, 7)))
+
+        orders = orders.map_batches(
+            prefilter, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH,
+        )
 
     from ..functions.join import partitioned_exists_join
 
