@@ -614,6 +614,18 @@ def _q_media_image_features(sf_dir: str):
     return M.image_features(sf_dir).drop_columns(["luma_hist"])
 
 
+def _q_events_top_users(sf_dir: str):
+    from rios_ray.pipelines.events import top_users_per_window
+
+    return top_users_per_window(sf_dir, n=3)
+
+
+def _q_media_frame_dedup(sf_dir: str):
+    from rios_ray.pipelines.multimodal import frame_dedup
+
+    return frame_dedup(sf_dir)
+
+
 def _q_media_frame_samples(sf_dir: str):
     import pyarrow as pa
 
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_distinct_users": _q_events_distinct_users,
+        "events_top_users_per_window": _q_events_top_users,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -729,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,  # rows-only (stub codec not SQL-expressible)
         "media_frame_samples": _q_media_frame_samples,
+        "media_frame_dedup": _q_media_frame_dedup,
         "knn_embeddings": _q_knn_embeddings,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
         "emb_neardup": _q_emb_neardup,
@@ -1305,6 +1319,17 @@ def _events_oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
         """,
+        "events_top_users_per_window": f"""
+            WITH c AS (
+                SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS "window",
+                       user_id, count(*) AS n_events
+                  FROM events GROUP BY 1, 2
+            )
+            SELECT "window", user_id, n_events,
+                   row_number() OVER (PARTITION BY "window"
+                                      ORDER BY n_events DESC, user_id) AS rank
+              FROM c QUALIFY rank <= 3
+        """,
         "events_asof_join": """
             SELECT c.event_id, c.user_id, epoch_us(c.ts) AS e,
                    (SELECT max(epoch_us(e2.ts)) FROM events e2
@@ -1492,6 +1517,34 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY cell ORDER BY url) AS rn
                   FROM (SELECT url, {_cell_sql()} AS cell FROM ({_pages_sql()})))
              WHERE rn <= 5
+        """,
+        "media_frame_dedup": f"""
+            WITH m AS (
+                SELECT url, html,
+                       CAST(floor(octet_length(html) / {_FRAME_BYTES}) AS BIGINT) AS n_frames
+                  FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+            ),
+            idx AS (
+                SELECT url, html,
+                       unnest(generate_series(0, n_frames - 1, {_FRAME_EVERY})) AS frame_idx
+                  FROM m WHERE n_frames > 0
+            ),
+            f AS (
+                SELECT url, frame_idx,
+                       md5(substring(decode(html),
+                                     CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
+                                     {_FRAME_BYTES})) AS frame_md5
+                  FROM idx
+            ),
+            d AS (
+                SELECT frame_md5, url, frame_idx,
+                       row_number() OVER (PARTITION BY frame_md5
+                                          ORDER BY url, frame_idx) AS rn,
+                       count(*) OVER (PARTITION BY frame_md5) AS n_copies
+                  FROM f
+            )
+            SELECT frame_md5, url AS keep_url, frame_idx AS keep_idx, n_copies
+              FROM d WHERE rn = 1
         """,
         "media_frame_samples": f"""
             WITH m AS (

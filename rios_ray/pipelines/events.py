@@ -518,3 +518,35 @@ def range_join_counts(sf_dir: str, left_type: str = "click",
         )
 
     return hash_partitioned_groups(ds, ["user_id"], per_partition)
+
+
+def top_users_per_window(
+    sf_dir: str, window_us: int = DEFAULT_WINDOW_US, n: int = 3
+) -> ray.data.Dataset:
+    """The ``n`` most active users of every tumbling window, ranked —
+    the windowed-aggregation x window-function composition
+    (``ROW_NUMBER() OVER (PARTITION BY window ORDER BY n_events DESC,
+    user_id)``).  Counts are combiner-first per (window, user); the
+    rank runs per window partition with one composite Arrow sort
+    (``stages.skew.ranked_head_per_key``) — no global sort, and the
+    exchange moves (window, user) partials, not events.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+    from ..stages.skew import ranked_head_per_key
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = _epoch_us(b) // window_us
+        return pa.table({"window": pa.array(w), "user_id": b["user_id"]})
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+    per_user = hash_grouped_aggregate(
+        ds, ["window", "user_id"], [(None, "count", "n_events")]
+    )
+    return hash_partitioned_groups(
+        per_user, ["window"],
+        lambda t: ranked_head_per_key(
+            t, "window", n, [("n_events", "descending"), ("user_id", "ascending")]
+        ),
+    )

@@ -116,3 +116,56 @@ def frame_samples(sf_dir: str, concurrency=None) -> ray.data.Dataset:
         batch_size=512,  # payloads are ~hundreds of bytes in the fixture
         concurrency=concurrency,
     )
+
+
+def frame_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Cross-video exact frame dedup: one row per DISTINCT sampled frame
+    with its first owner and copy count — the multimodal composition of
+    frame sampling + the exact-dedup exchange (per-batch md5 partials,
+    one md5-keyed exchange, vectorized first-occurrence + run-length
+    counts; the ROW_NUMBER()=1 + COUNT() OVER pattern without a window
+    function).
+
+    md5 is the only per-row step (no vectorized digest kernel exists);
+    frames are fixed 32-byte payloads, so the hash pass is bounded and
+    runs inside the same streaming stage as the sampler output.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+
+    def digest(b: pa.Table) -> pa.Table:
+        frames = b["frame"].combine_chunks() if isinstance(b["frame"], pa.ChunkedArray) else b["frame"]
+        md = [hashlib.md5(f.as_py()).hexdigest() for f in frames]
+        return pa.table({
+            "frame_md5": pa.array(md, type=pa.string()),
+            "url": b["url"],
+            "frame_idx": b["frame_idx"],
+        })
+
+    ds = frame_samples(sf_dir).map_batches(
+        digest, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    )
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([
+            ("frame_md5", "ascending"), ("url", "ascending"),
+            ("frame_idx", "ascending"),
+        ])
+        md = tbl["frame_md5"].combine_chunks()
+        codes = md.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]]) if len(codes) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(codes)))
+        head = tbl.take(pa.array(starts))
+        return pa.table({
+            "frame_md5": head["frame_md5"],
+            "keep_url": head["url"],
+            "keep_idx": head["frame_idx"],
+            "n_copies": pa.array(counts, type=pa.int64()),
+        })
+
+    return hash_partitioned_groups(ds, ["frame_md5"], summarize)

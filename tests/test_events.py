@@ -176,3 +176,21 @@ def test_range_join_counts_vs_duckdb(ray_session, con):
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["n_right"].tolist() == want["n_right"].tolist()
     assert got["n_right"].max() > 0
+
+
+def test_top_users_per_window_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import DEFAULT_WINDOW_US, top_users_per_window
+
+    got = top_users_per_window(SF, n=2).to_pandas()
+    want = con.execute(f"""
+        WITH c AS (
+            SELECT CAST(floor(epoch_us(ts) / {DEFAULT_WINDOW_US}) AS BIGINT) AS "window",
+                   user_id, count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+        SELECT "window", user_id, n_events,
+               row_number() OVER (PARTITION BY "window"
+                                  ORDER BY n_events DESC, user_id) AS rank
+          FROM c QUALIFY rank <= 2""").df()
+    g = sorted(map(tuple, got[["window", "user_id", "n_events", "rank"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["window", "user_id", "n_events", "rank"]].itertuples(index=False)))
+    assert g == w and len(g) > 0

@@ -100,3 +100,42 @@ def test_pixels_roundtrip_schema():
     back = S._rows_matrices(t)
     assert np.array_equal(back[0], rows[0])
     assert np.array_equal(back[1], rows[1])
+
+
+def test_frame_dedup_vs_duckdb(ray_session):
+    import duckdb
+
+    from rios_ray import synth
+    from rios_ray.pipelines.multimodal import FRAME_BYTES, FRAME_EVERY, frame_dedup
+
+    got = frame_dedup(SF).to_pandas()
+    want = duckdb.sql(f"""
+        WITH m AS (SELECT url, html,
+                          CAST(floor(octet_length(html) / {FRAME_BYTES}) AS BIGINT) AS n_frames
+                     FROM read_parquet('{synth.pages_path(SF)}/*.parquet')),
+        idx AS (SELECT url, html,
+                       unnest(generate_series(0, n_frames - 1, {FRAME_EVERY})) AS frame_idx
+                  FROM m WHERE n_frames > 0),
+        f AS (SELECT url, frame_idx,
+                     md5(substring(decode(html),
+                                   CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                                   {FRAME_BYTES})) AS frame_md5
+                FROM idx),
+        d AS (SELECT frame_md5, url, frame_idx,
+                     row_number() OVER (PARTITION BY frame_md5 ORDER BY url, frame_idx) AS rn,
+                     count(*) OVER (PARTITION BY frame_md5) AS n_copies
+                FROM f)
+        SELECT frame_md5, url AS keep_url, frame_idx AS keep_idx, n_copies
+          FROM d WHERE rn = 1""").df()
+    assert len(got) == len(want) > 0
+    g = sorted(map(tuple, got[["frame_md5", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["frame_md5", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
+    assert g == w
+    # total copies reconstruct the sampled frame count
+    assert got["n_copies"].sum() == duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT unnest(generate_series(0,
+                   CAST(floor(octet_length(html) / {FRAME_BYTES}) AS BIGINT) - 1,
+                   {FRAME_EVERY}))
+            FROM read_parquet('{synth.pages_path(SF)}/*.parquet')
+           WHERE octet_length(html) >= {FRAME_BYTES})""").fetchone()[0]
