@@ -146,6 +146,31 @@ def run_bench() -> dict:
 
         return frame_samples(sf_dir).count()
 
+    def radius():
+        from rios_ray.pipelines.spatial_ops import radius_join
+
+        return radius_join(sf_dir, radius=8.0).count()
+
+    def rollup():
+        from rios_ray.pipelines.spatial_ops import cell_rollup
+
+        return cell_rollup(sf_dir).count()
+
+    def zonal():
+        from rios_ray.pipelines.spatial_ops import zonal_stats
+
+        return zonal_stats(sf_dir).count()
+
+    def top_hosts():
+        from rios_ray.pipelines.pages import top_pages_per_host
+
+        return top_pages_per_host(sf_dir, n=3).count()
+
+    def paragraphs():
+        from rios_ray.pipelines.text import paragraph_dedup
+
+        return paragraph_dedup(sf_dir, sep=" the ").count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "host_counts": hosts,
@@ -154,6 +179,11 @@ def run_bench() -> dict:
         "knn_pages": lambda: knn_pages(sf_dir, k=10).count(),
         "knn_cellring": lambda: knn_pages_cellring(sf_dir, k=10).count(),
         "cell_fanout_cap": capped,
+        "radius_join": radius,
+        "cell_rollup": rollup,
+        "zonal_stats": zonal,
+        "top_pages_per_host": top_hosts,
+        "dedup_paragraphs": paragraphs,
         # non-spatial coverage (dedup / relational / windows / media) so
         # regressions there are visible per-round, not just in tests
         "dedup_minhash": minhash,
