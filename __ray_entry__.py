@@ -620,6 +620,12 @@ def _q_events_top_users(sf_dir: str):
     return top_users_per_window(sf_dir, n=3)
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    from rios_ray.pipelines.events import value_quantiles_per_type
+
+    return value_quantiles_per_type(sf_dir)
+
+
 def _q_media_frame_dedup(sf_dir: str):
     from rios_ray.pipelines.multimodal import frame_dedup
 
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_distinct_users": _q_events_distinct_users,
         "events_top_users_per_window": _q_events_top_users,
+        "events_value_quantiles": _q_events_value_quantiles,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -1318,6 +1325,17 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_value_quantiles": """
+            WITH g AS (
+                SELECT event_type,
+                       quantile_disc(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS vs
+                  FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+                   unnest(vs) AS value
+              FROM g
         """,
         "events_top_users_per_window": f"""
             WITH c AS (

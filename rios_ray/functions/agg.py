@@ -209,3 +209,49 @@ def distributed_topk(ds, k: int, sort_cols: list[str], ascending: list[bool],
     return local_ds.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
     )
+
+
+def grouped_quantiles(ds, key: str, value_col: str, qs: list[float],
+                      num_partitions: int | None = None):
+    """Exact per-group discrete quantiles: for every key, the
+    ``ceil(q*n) - 1``-th order statistic of ``value_col`` (ANSI
+    ``quantile_disc`` semantics) for each q.
+
+    Order statistics are value PICKS, not sums, so the result is
+    bitwise engine-independent (no float-reduction-order hazard) —
+    exact quantiles stay oracle-checkable where means/sums of floats
+    would not.  One keyed exchange co-locates each group; each
+    partition does a single composite Arrow sort and a vectorized
+    (groups x qs) fancy-index pick — no per-group Python.
+
+    Output: (key, q, value), one row per key per q.
+    """
+    qs_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({key: tbl[key], "q": pa.array([], type=pa.float64()),
+                             "value": pa.array([], type=pa.float64())})
+        tbl = tbl.sort_by([(key, "ascending"), (value_col, "ascending")])
+        kcol = tbl[key].combine_chunks()
+        if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+            codes = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        else:
+            codes = kcol.to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        n_g = np.diff(np.append(starts, len(codes)))
+        vals = tbl[value_col].to_numpy(zero_copy_only=False)
+        pick = np.ceil(qs_arr[None, :] * n_g[:, None]).astype(np.int64) - 1
+        pick = np.clip(pick, 0, (n_g - 1)[:, None])
+        rows = (starts[:, None] + pick).ravel()
+        import pyarrow.compute as pc
+
+        out_keys = pc.take(kcol, pa.array(np.repeat(starts, len(qs_arr))))
+        return pa.table({
+            key: out_keys,
+            "q": pa.array(np.tile(qs_arr, len(starts))),
+            "value": pa.array(vals[rows], type=pa.float64()),
+        })
+
+    return hash_partitioned_groups(ds, [key], per_partition, num_partitions)

@@ -550,3 +550,16 @@ def top_users_per_window(
             t, "window", n, [("n_events", "descending"), ("user_id", "ascending")]
         ),
     )
+
+
+def value_quantiles_per_type(
+    sf_dir: str, qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
+) -> ray.data.Dataset:
+    """Exact per-event-type value quantiles (discrete order statistics
+    — ``functions.agg.grouped_quantiles``): the grouped companion to
+    the global token quantiles, and exact where a mean would be
+    float-order-unstable across engines."""
+    from ..functions.agg import grouped_quantiles
+
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value", list(qs))

@@ -194,3 +194,41 @@ def test_top_users_per_window_vs_duckdb(ray_session, con):
     g = sorted(map(tuple, got[["window", "user_id", "n_events", "rank"]].itertuples(index=False)))
     w = sorted(map(tuple, want[["window", "user_id", "n_events", "rank"]].itertuples(index=False)))
     assert g == w and len(g) > 0
+
+
+def test_grouped_quantiles_vs_duckdb(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.agg import grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 37, n)),           # skewed sizes
+        "v": pa.array(np.round(rng.uniform(0, 100, n), 1)),  # heavy ties
+    })
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = grouped_quantiles(
+        ray.data.from_arrow(t).repartition(8), "k", "v", qs
+    ).to_pandas()
+    want = duckdb.sql(f"""
+        WITH g AS (SELECT k, quantile_disc(v, {qs}) AS vs FROM t GROUP BY 1)
+        SELECT k, unnest({qs}) AS q, unnest(vs) AS value FROM g
+    """).df()
+    g = sorted(map(tuple, got[["k", "q", "value"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["k", "q", "value"]].itertuples(index=False)))
+    assert g == w and len(g) == 37 * len(qs)
+
+
+def test_value_quantiles_pipeline(ray_session, con):
+    from rios_ray.pipelines.events import value_quantiles_per_type
+
+    got = value_quantiles_per_type(SF, qs=(0.5,)).to_pandas()
+    want = con.execute("""
+        SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+          FROM events GROUP BY 1""").df()
+    g = dict(zip(got["event_type"], got["value"]))
+    w = dict(zip(want["event_type"], want["value"]))
+    assert g == w and len(g) > 0
