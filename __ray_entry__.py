@@ -626,6 +626,12 @@ def _q_events_value_quantiles(sf_dir: str):
     return value_quantiles_per_type(sf_dir)
 
 
+def _q_events_funnel(sf_dir: str):
+    from rios_ray.pipelines.events import funnel_conversions
+
+    return funnel_conversions(sf_dir)
+
+
 def _q_media_frame_dedup(sf_dir: str):
     from rios_ray.pipelines.multimodal import frame_dedup
 
@@ -741,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_funnel": _q_events_funnel,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -1325,6 +1332,24 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_funnel": f"""
+            WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            conv AS (
+                SELECT c.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM events p
+                            WHERE p.user_id = c.user_id
+                              AND p.event_type = 'purchase'
+                              AND p.ts > c.ts
+                              AND epoch_us(p.ts) - epoch_us(c.ts)
+                                  <= {24 * 3_600_000_000}
+                       ) THEN 1 ELSE 0 END AS cv
+                  FROM c
+            )
+            SELECT user_id, count(*) AS n_from,
+                   CAST(sum(cv) AS BIGINT) AS n_converted
+              FROM conv GROUP BY 1
         """,
         "events_value_quantiles": """
             WITH g AS (

@@ -563,3 +563,99 @@ def value_quantiles_per_type(
 
     ds = read_events(sf_dir, columns=["event_type", "value"])
     return grouped_quantiles(ds, "event_type", "value", list(qs))
+
+
+def funnel_conversions(
+    sf_dir: str,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    within_us: int = 24 * HOUR_US,
+) -> ray.data.Dataset:
+    """Two-step funnel: per user, how many ``from_type`` events were
+    followed by a ``to_type`` event (strictly later, same user) within
+    ``within_us``.
+
+    Same custom-join recipe as the as-of join: one user-keyed exchange
+    co-locates both filtered streams, then a per-partition vectorized
+    FORWARD search — composite (user rank, time) int64 key, one
+    ``searchsorted`` for the nearest next ``to_type`` per ``from_type``
+    event (the nearest one decides: any later candidate is farther, so
+    EXISTS-within-gap == nearest-gap <= T) — and the per-user counts
+    reduce locally in the same partition (users are complete there), so
+    the funnel costs exactly one exchange of the two filtered streams.
+    Output: (user_id, n_from, n_converted) for users with >= 1
+    ``from_type`` event.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array([from_type, to_type]))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "e": pa.array(_epoch_us(b)),
+                "is_from": pc.equal(b["event_type"], from_type),
+            }
+        )
+
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "n_from": pa.array([], type=pa.int64()),
+            "n_converted": pa.array([], type=pa.int64()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        e = tbl["e"].to_numpy(zero_copy_only=False)
+        is_from = tbl["is_from"].to_numpy(zero_copy_only=False)
+        if not is_from.any():
+            return empty
+        emin = int(e.min())
+        span = int(e.max()) - emin + 2
+        uniq, rank = np.unique(uid, return_inverse=True)
+        max_rank = int(rank.max()) if len(rank) else 0
+        if max_rank and max_rank > (2**63 - 1) // span:
+            raise ValueError(
+                "funnel composite key would overflow int64 — repartition "
+                "finer (users/partition x time span too large)"
+            )
+        key = rank.astype(np.int64) * span + (e - emin)
+        t_mask = ~is_from
+        t_key = np.sort(key[t_mask])
+        t_order = np.argsort(key[t_mask], kind="stable")
+        t_rank = rank[t_mask][t_order]
+        f_key, f_rank = key[is_from], rank[is_from]
+        f_e = e[is_from]
+        if len(t_key):
+            pos = np.searchsorted(t_key, f_key, side="right")
+            pos_c = np.minimum(pos, len(t_key) - 1)
+            nearest_e = (t_key[pos_c] % span) + emin
+            conv = (
+                (pos < len(t_key))
+                & (t_rank[pos_c] == f_rank)
+                & (nearest_e - f_e <= within_us)
+            )
+        else:
+            conv = np.zeros(len(f_key), dtype=bool)
+        # per-user local reduce (users are complete in this partition)
+        order = np.argsort(f_rank, kind="stable")
+        fr = f_rank[order]
+        new = np.concatenate([[True], fr[1:] != fr[:-1]])
+        starts = np.flatnonzero(new)
+        n_from = np.diff(np.append(starts, len(fr)))
+        n_conv = np.add.reduceat(conv[order].astype(np.int64), starts)
+        return pa.table({
+            "user_id": pa.array(uniq[fr[starts]]),
+            "n_from": pa.array(n_from, type=pa.int64()),
+            "n_converted": pa.array(n_conv, type=pa.int64()),
+        })
+
+    return hash_partitioned_groups(ds, ["user_id"], per_partition)

@@ -232,3 +232,25 @@ def test_value_quantiles_pipeline(ray_session, con):
     g = dict(zip(got["event_type"], got["value"]))
     w = dict(zip(want["event_type"], want["value"]))
     assert g == w and len(g) > 0
+
+
+def test_funnel_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import HOUR_US, funnel_conversions
+
+    for hours in (6, 72):
+        got = funnel_conversions(SF, within_us=hours * HOUR_US).to_pandas()
+        want = con.execute(f"""
+            WITH c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+            conv AS (SELECT c.user_id,
+                     CASE WHEN EXISTS (SELECT 1 FROM events p
+                           WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                             AND p.ts > c.ts
+                             AND epoch_us(p.ts) - epoch_us(c.ts) <= {hours * HOUR_US})
+                          THEN 1 ELSE 0 END AS cv
+                FROM c)
+            SELECT user_id, count(*) AS n_from,
+                   CAST(sum(cv) AS BIGINT) AS n_converted
+              FROM conv GROUP BY 1""").df()
+        g = sorted(map(tuple, got[["user_id", "n_from", "n_converted"]].itertuples(index=False)))
+        w = sorted(map(tuple, want[["user_id", "n_from", "n_converted"]].itertuples(index=False)))
+        assert g == w and len(g) > 0
