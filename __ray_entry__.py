@@ -295,6 +295,12 @@ def _q_zonal_stats(sf_dir: str):
     return zonal_stats(sf_dir)
 
 
+def _q_s2_rollup(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import s2_rollup
+
+    return s2_rollup(sf_dir, level=12, levels=2)
+
+
 def _q_top_pages_per_host(sf_dir: str):
     from rios_ray.pipelines.pages import top_pages_per_host
 
@@ -708,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join": _q_radius_join,
         "cell_rollup": _q_cell_rollup,
         "zonal_stats": _q_zonal_stats,
+        "s2_rollup": _q_s2_rollup,
         "top_pages_per_host": _q_top_pages_per_host,
         "url_canonical": _q_url_canonical,
         "text_token_stats": _q_text_token_stats,
@@ -1514,6 +1521,13 @@ def oracle_sql() -> dict[str, str]:
              WHERE (p.lon - q.qlon) * (p.lon - q.qlon)
                  + (p.lat - q.qlat) * (p.lat - q.qlat) <= {8.0 * 8.0!r}
         """,
+        "s2_rollup": " UNION ALL ".join(
+            f"""
+            SELECT CAST({lv} AS BIGINT) AS level, s2_cell, count(*) AS n_pages
+              FROM ({_s2_cells_sql(lv)})
+             GROUP BY 1, 2"""
+            for lv in (12, 11)
+        ),
         "cell_rollup": " UNION ALL ".join(
             f"""
             SELECT CAST({r} AS BIGINT) AS res, {_cell_sql(r)} AS cell,

@@ -158,6 +158,45 @@ def cell_rollup(
     return grouped_count(ds, ["res", "cell"], alias="n_pages", final_mode="tree")
 
 
+def s2_rollup(sf_dir: str, level: int = 12, levels: int = 2) -> ray.data.Dataset:
+    """Quadtree rollup on the s2-style index: ``(level, s2_cell,
+    n_pages)`` for the base level and coarser parents.
+
+    The hierarchy is pure bit math (``cells.s2_parent``: Morton pos >>
+    2 per level, face preserved), exact by the same floor-halving
+    identity as the grid rollup — the (i, j) leaf coordinates halve per
+    level, so the parent of a point's level-L cell IS its level-(L-1)
+    cell.  Same one-pass explode + combiner-first shape as
+    :func:`cell_rollup`.
+    """
+    if levels < 1 or levels > level:
+        raise ValueError("need 1 <= levels <= level")
+
+    def explode_levels(b: pa.Table) -> pa.Table:
+        base = b["s2_cell"].to_numpy()
+        out_lv, out_cell = [], []
+        cur, lv = base, level
+        for i in range(levels):
+            out_lv.append(np.full(len(cur), lv, dtype=np.int64))
+            out_cell.append(cur)
+            if i + 1 < levels:
+                cur = C.s2_parent(cur, lv, lv - 1)
+                lv -= 1
+        return pa.table({
+            "level": pa.array(np.concatenate(out_lv)),
+            "s2_cell": pa.array(np.concatenate(out_cell)),
+        })
+
+    ds = geocoded_pages(sf_dir, keep_text=False, s2_level=level).select_columns(
+        ["s2_cell"]
+    ).map_batches(
+        explode_levels, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    return grouped_count(ds, ["level", "s2_cell"], alias="n_pages",
+                         final_mode="tree")
+
+
 def zonal_stats(sf_dir: str, grid_res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
     """Per-polygon zonal statistics over page text size: for every
     polygon, the count / sum / min / max / mean of contained pages'

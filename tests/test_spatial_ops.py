@@ -204,3 +204,40 @@ def test_top_pages_per_host_vs_duckdb(ray_session):
     g = sorted(map(tuple, got[["host", "url", "n_chars", "rank"]].itertuples(index=False)))
     w = sorted(map(tuple, want[["host", "url", "n_chars", "rank"]].itertuples(index=False)))
     assert g == w and len(g) > 0
+
+
+def test_s2_parent_matches_direct_coarse_binning():
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-180, 180, 50000)
+    lat = rng.uniform(-90, 90, 50000)
+    for level in (12, 8):
+        child = cells.s2_cell_id(lon, lat, level)
+        np.testing.assert_array_equal(
+            cells.s2_parent(child, level, level - 1),
+            cells.s2_cell_id(lon, lat, level - 1),
+        )
+
+
+def test_s2_rollup_partitions_corpus(ray_session):
+    import duckdb
+
+    from rios_ray.pipelines.spatial_ops import s2_rollup
+
+    synth.ensure_pages(SF)
+    got = s2_rollup(SF, level=12, levels=2).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{synth.pages_path(SF)}/*.parquet')"
+    ).fetchone()[0]
+    sums = got.groupby("level")["n_pages"].sum()
+    assert set(sums.index) == {12, 11} and (sums == total).all()
+    base = got[got["level"] == 12]
+    rolled = (
+        __import__("pandas")
+        .DataFrame({
+            "cell": cells.s2_parent(base["s2_cell"].to_numpy(), 12, 11),
+            "n": base["n_pages"].to_numpy(),
+        })
+        .groupby("cell")["n"].sum().sort_index()
+    )
+    par = got[got["level"] == 11].set_index("s2_cell")["n_pages"].sort_index()
+    assert (rolled == par).all()
