@@ -74,12 +74,23 @@ def fnv1a64_arrow(arr) -> np.ndarray:
     if arr.null_count:
         lens = np.where(arr.is_null().to_numpy(zero_copy_only=False), 0, lens)
     maxlen = int(lens.max()) if len(lens) else 0
-    buf = np.zeros((len(lens), max(maxlen, 1)), dtype=np.uint8)
+    # Loop over byte POSITIONS, gathering one clamped column per
+    # iteration straight from the Arrow data buffer — no (rows x
+    # maxlen) temporary at all.  The previous 2-D boolean-mask gather
+    # cost 11.9 s on 260k grams (numpy mask fancy-indexing + this VM's
+    # first-touch page faults on the big index matrix); this path is
+    # ~0.1 s warm and allocates only per-column vectors.
+    h = np.full(len(lens), FNV_OFFSET, dtype=np.uint64)
     if maxlen:
-        mask = np.arange(maxlen) < lens[:, None]
-        idx = offs[:-1, None] + np.arange(maxlen)[None, :]
-        buf[mask] = data[idx[mask]]
-    return _fnv1a64_matrix(buf, lens)
+        base = offs[:-1]
+        hi_cap = max(len(data) - 1, 0)
+        with np.errstate(over="ignore"):
+            for i in range(maxlen):
+                active = i < lens
+                pos = np.minimum(base + i, hi_cap)
+                hi = (h ^ data[pos].astype(np.uint64)) * FNV_PRIME
+                h = np.where(active, hi, h)
+    return h
 
 
 def minhash_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:

@@ -62,18 +62,45 @@ def _min_label_merge(tbl: pa.Table) -> pa.Table:
     )
 
 
+def _local_components(tbl: pa.Table, max_iters: int) -> pa.Table:
+    """Single-task min-label solve over a (src, dst) bidirectional edge
+    table — vectorized ``np.minimum.at`` rounds until fixed point."""
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    nodes, src_idx = np.unique(src, return_inverse=True)
+    dst_idx = np.searchsorted(nodes, dst)  # bidir => dst nodes ⊆ src nodes
+    labels = nodes.copy()
+    for _ in range(max_iters):
+        new = labels.copy()
+        np.minimum.at(new, dst_idx, labels[src_idx])
+        if np.array_equal(new, labels):
+            return pa.table({"node": pa.array(nodes), "cluster_id": pa.array(labels)})
+        labels = new
+    raise RuntimeError(f"components did not converge in {max_iters} rounds")
+
+
 def connected_components(
     edges,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     num_partitions: int | None = None,
     max_iters: int = 64,
+    local_cap: int = 5_000_000,
 ):
     """Label every node of the (int64-keyed) pair graph with the min
     node id of its connected component.
 
     Returns a Dataset (node, cluster_id); a node whose id equals its
     cluster_id is the component's canonical representative.
+
+    Strategy selection by edge count (the q18 broadcast-cap pattern):
+    a fuzzy-dedup pair graph is orders of magnitude smaller than the
+    corpus, so up to ``local_cap`` (bidirectional) edges the solve runs
+    as ONE vectorized task — each distributed propagation round costs
+    two keyed exchanges of fixed overhead, which dominates wall time at
+    realistic pair counts (measured: 24 s -> ~9 s for the full minhash
+    + clustering pipeline at sf0.1).  Past the cap it falls back to
+    per-round distributed min-label propagation.
     """
     import ray.data  # noqa: F401 — edges is a Dataset
 
@@ -87,6 +114,12 @@ def connected_components(
     edges_bd = edges.map_batches(
         bidir, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if edges_bd.count() <= local_cap:
+        return edges_bd.repartition(1).map_batches(
+            lambda t: _local_components(t, max_iters),
+            batch_format="pyarrow", batch_size=None,
+        )
 
     # initial labels: every node labels itself (per-batch dedup is the
     # combiner; the grouped min collapses cross-batch repeats)

@@ -206,7 +206,11 @@ def jaccard_pairs(
         explode_hashed,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=BATCH_SIZE,
+        # batch_size=None: a row-count batch here drives Ray's task
+        # bundling for the fused read+map chain (2 tasks on a 5000-doc
+        # table = zero parallelism); per-read-block batches keep the
+        # gram hashing spread across the pool (BASELINE.md lesson 5)
+        batch_size=None,
     )
     pairs = hash_partitioned_groups(grams, ["gram_h"], _gram_partition_pairs(df_cap))
 
@@ -280,7 +284,7 @@ def minhash_candidates(
         _band_rows(num_perm, n_bands, ngram),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=BATCH_SIZE,
+        batch_size=None,  # read-block granularity (see explode_hashed note)
     )
     from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
 
@@ -381,7 +385,8 @@ def simhashes(sf_dir: str, ngram: int = DEFAULT_NGRAM) -> ray.data.Dataset:
         return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(sims)})
 
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,  # read-block granularity (see explode_hashed note)
     )
 
 

@@ -218,14 +218,19 @@ def test_connected_components_shapes(ray_session):
             "doc_b": [11, 12, 13, 14, 2, 3, 3, 8],
         }
     )
-    got = (
-        connected_components(ray.data.from_arrow(edges), num_partitions=4)
-        .to_pandas()
-        .set_index("node")["cluster_id"]
-        .to_dict()
-    )
-    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
-                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+            10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+    # both strategies: single-task local solve (default at this size)
+    # and the distributed per-round propagation (local_cap=0 forces it)
+    for cap in (5_000_000, 0):
+        got = (
+            connected_components(ray.data.from_arrow(edges), num_partitions=4,
+                                 local_cap=cap)
+            .to_pandas()
+            .set_index("node")["cluster_id"]
+            .to_dict()
+        )
+        assert got == want, f"local_cap={cap}"
 
 
 def test_minhash_clusters(ray_session):
