@@ -37,8 +37,9 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
     """(url, payload, meta_height, meta_width): the typed-binary view."""
 
     def tag(b: pa.Table) -> pa.Table:
-        urls = b["url"].to_pylist()
-        h = fnv1a64(urls)
+        from ..dedup.hashing import fnv1a64_arrow
+
+        h = fnv1a64_arrow(b["url"])
         heights = (8 + (h % np.uint64(9))).astype(np.int32)
         widths = (8 + ((h >> np.uint64(8)) % np.uint64(9))).astype(np.int32)
         return pa.table(
@@ -102,8 +103,15 @@ def image_features(
     )
 
 
-def frame_samples(sf_dir: str, concurrency=None) -> ray.data.Dataset:
-    """(url, frame_idx, frame): every FRAME_EVERY-th FRAME_BYTES chunk."""
+def frame_samples(sf_dir: str, concurrency=None,
+                  batch_size: int = 4096) -> ray.data.Dataset:
+    """(url, frame_idx, frame): every FRAME_EVERY-th FRAME_BYTES chunk.
+
+    ``batch_size`` sizes actor calls: fixture payloads are ~hundreds of
+    bytes so 4096 rows is ~2.5 MB/batch (512-row batches cost 8x the
+    actor-call dispatch for nothing); with real multi-MB video payloads
+    pass a smaller value so batch x concurrency stays in worker heaps.
+    """
     from ..util import default_pool
 
     if concurrency is None:
@@ -113,7 +121,7 @@ def frame_samples(sf_dir: str, concurrency=None) -> ray.data.Dataset:
         fn_constructor_kwargs={"frame_bytes": FRAME_BYTES, "every": FRAME_EVERY},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=512,  # payloads are ~hundreds of bytes in the fixture
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 
