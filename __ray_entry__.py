@@ -411,6 +411,12 @@ def _q_dedup_paragraphs(sf_dir: str):
     return paragraph_dedup(sf_dir, sep=" the ")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from rios_ray.pipelines.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(sf_dir, k=30)
+
+
 def _q_dedup_jaccard(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -732,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_heavy_hitters": _q_heavy_hitters,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
@@ -854,6 +861,19 @@ def _text_oracle_sql() -> dict[str, str]:
                     FROM p)
             SELECT doc_id, string_agg(para, ' the ' ORDER BY i) AS text
               FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        # exact heavy hitters (tokens with freq > n/k; the MG sketch
+        # only bounds the candidate pass, output is exact)
+        "text_heavy_hitters": """
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ),
+            w2 AS (SELECT token FROM w WHERE token <> ''),
+            t AS (SELECT count(*) AS total FROM w2)
+            SELECT token, count(*) AS n
+              FROM w2, t
+             GROUP BY token, t.total
+            HAVING count(*) * 30 > t.total
         """,
         # composed cleaning pipeline: lang filter + quality floor +
         # word-repetition ceiling + exact dedup (min doc_id per

@@ -456,3 +456,77 @@ def paragraph_dedup(sf_dir: str, sep: str = " ") -> ray.data.Dataset:
     )
     kept = hash_partitioned_groups(exploded, ["para"], first_only)
     return hash_partitioned_groups(kept, ["doc_id"], reassemble)
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 30) -> ray.data.Dataset:
+    """EXACT tokens with frequency > n/k via a Misra-Gries candidate
+    pass + an exact verify scan (``functions/sketch.py``): per-batch
+    counters are compressed to k-1 rows (bounded combiner), the merged
+    survivor set is a guaranteed superset of the true heavy hitters,
+    and a second scan counts only those candidates.  Output
+    ``(token, n)`` where ``n * k > total``, integer math both sides.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.sketch import mg_compress, mg_partial
+
+    def explode(b: pa.Table):
+        words = pc.split_pattern(b["text"], " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        flat = words.flatten()
+        return flat.filter(pc.not_equal(flat, ""))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, counts = mg_partial(explode(b), k)
+        return pa.table({"token": keys, "c": pa.array(counts)})
+
+    docs = read_documents(sf_dir, columns=["text"])
+    partials = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["token"]).aggregate([("c", "sum")])
+        counts = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept, kc = mg_compress(np.arange(len(counts)), counts, k)
+        return pa.table({"token": pc.take(g["token"].combine_chunks(),
+                                          pa.array(kept))})
+
+    import ray as _ray
+
+    # candidate set: bounded at k-1 rows per input block, so gathering
+    # the partials is a tiny driver-side merge (not a data materialize)
+    cand = merge(pa.concat_tables(_ray.get(partials.to_arrow_refs())))
+    cand_ref = _ray.put(cand["token"].combine_chunks().cast(pa.string()))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        flat = explode(b)
+        hit = flat.filter(pc.is_in(flat, value_set=_ray.get(cand_ref)))
+        vc = hit.value_counts()
+        toks = vc.field(0).cast(pa.string())
+        ns = vc.field(1).cast(pa.int64())
+        # null-token row carries this batch's total token count
+        return pa.table({
+            "token": pa.concat_arrays([toks, pa.array([None], type=pa.string())]),
+            "n": pa.concat_arrays([ns, pa.array([len(flat)], type=pa.int64())]),
+        })
+
+    counted = docs.map_batches(
+        exact_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def final(tbl: pa.Table) -> pa.Table:
+        is_tot = pc.is_null(tbl["token"])
+        total = int(pc.sum(tbl.filter(is_tot)["n"]).as_py())
+        g = tbl.filter(pc.invert(is_tot)).group_by(["token"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["token", "n"])
+        keep = pc.greater(pc.multiply(g["n"], pa.scalar(k, type=pa.int64())),
+                          pa.scalar(total, type=pa.int64()))
+        return g.filter(keep)
+
+    return counted.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -357,3 +357,33 @@ def test_paragraph_dedup_first_doc_intact(ray_session):
     first = first.sort_values("doc_id").iloc[0]
     out = got[got["doc_id"] == first["doc_id"]]["text"].iloc[0]
     assert out == first["text"]
+
+
+def test_mg_compress_superset_guarantee():
+    # any item with true freq > n/k must survive compression
+    rng = np.random.default_rng(21)
+    counts = rng.integers(1, 50, 500).astype(np.int64)
+    counts[7] = 5000  # a true heavy hitter
+    counts[13] = 3000
+    keys = np.arange(500)
+    for k in (5, 20, 100):
+        kept, kc = __import__("rios_ray.functions.sketch", fromlist=["x"]).mg_compress(
+            keys, counts, k)
+        n = counts.sum()
+        heavy = set(keys[counts > n / k])
+        assert heavy <= set(kept)
+        assert len(kept) <= k - 1 or len(keys) <= k - 1
+
+
+def test_heavy_hitter_tokens_vs_duckdb(ray_session, con):
+    for k in (30, 60):
+        got = T.heavy_hitter_tokens(SF, k=k).to_pandas()
+        want = con.execute(f"""
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM docs),
+            w2 AS (SELECT token FROM w WHERE token <> ''),
+            t AS (SELECT count(*) AS total FROM w2)
+            SELECT token, count(*) AS n FROM w2, t
+             GROUP BY token, t.total HAVING count(*) * {k} > t.total""").df()
+        g = dict(zip(got["token"], got["n"]))
+        w = dict(zip(want["token"], want["n"]))
+        assert g == w
