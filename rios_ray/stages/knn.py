@@ -35,16 +35,17 @@ class KnnPartialStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
-        url = np.asarray(batch["url"].to_pylist(), dtype=object)
         # (n, Q) distance matrix — identical float expression to the SQL
         # oracle: (lon-qlon)*(lon-qlon) + (lat-qlat)*(lat-qlat)
         dlon = lon[:, None] - self.qlon[None, :]
         dlat = lat[:, None] - self.qlat[None, :]
         d2 = dlon * dlon + dlat * dlat
         k = min(self.k, len(lon))
-        out_qid, out_url, out_d2 = [], [], []
+        out_qid, out_idx, out_d2 = [], [], []
         for j in range(len(self.qid)):
             col = d2[:, j]
             if k < len(col):
@@ -52,12 +53,17 @@ class KnnPartialStage:
             else:
                 cand = np.arange(len(col))
             out_qid.append(np.full(len(cand), self.qid[j], dtype=np.int64))
-            out_url.append(url[cand])
+            out_idx.append(cand)
             out_d2.append(col[cand])
+        # one Arrow take for every query's survivors — urls never
+        # round-trip through Python objects
+        urls = pc.take(
+            batch["url"].combine_chunks(), pa.array(np.concatenate(out_idx))
+        )
         return pa.table(
             {
                 "qid": pa.array(np.concatenate(out_qid)),
-                "url": pa.array(np.concatenate(out_url), type=pa.string()),
+                "url": urls.cast(pa.string()),
                 "d2": pa.array(np.concatenate(out_d2), type=pa.float64()),
             }
         )
