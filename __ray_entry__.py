@@ -417,6 +417,18 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(sf_dir, k=30)
 
 
+def _q_doc_zscores(sf_dir: str):
+    from rios_ray.pipelines.text import doc_zscores
+
+    return doc_zscores(sf_dir)
+
+
+def _q_host_char_share(sf_dir: str):
+    from rios_ray.pipelines.pages import host_char_share
+
+    return host_char_share(sf_dir)
+
+
 def _q_dedup_jaccard(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -739,6 +751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_heavy_hitters": _q_heavy_hitters,
+        "doc_zscores": _q_doc_zscores,
+        "host_char_share": _q_host_char_share,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
@@ -861,6 +875,22 @@ def _text_oracle_sql() -> dict[str, str]:
                     FROM p)
             SELECT doc_id, string_agg(para, ' the ' ORDER BY i) AS text
               FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        # two-pass standardization: exact-integer scalar aggregate
+        # broadcast back as the identical float64 expression
+        "doc_zscores": """
+            WITH s AS (
+                SELECT CAST(sum(n_chars) AS BIGINT) AS s,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sq,
+                       count(*) AS n
+                  FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   (CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                   / sqrt(CAST(sq AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                   AS z
+              FROM documents, s
         """,
         # exact heavy hitters (tokens with freq > n/k; the MG sketch
         # only bounds the candidate pass, output is exact)
@@ -1522,6 +1552,20 @@ def oracle_sql() -> dict[str, str]:
                         - CASE WHEN path LIKE '%/' THEN 1 ELSE 0 END
                         AS BIGINT) AS path_depth
               FROM p2
+        """,
+        "host_char_share": f"""
+            WITH h AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       url, length(text) AS n_chars
+                  FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+            )
+            SELECT host, url, n_chars,
+                   CAST(sum(n_chars) OVER (PARTITION BY host) AS BIGINT)
+                       AS host_chars,
+                   CAST(n_chars AS DOUBLE)
+                   / CAST(sum(n_chars) OVER (PARTITION BY host) AS BIGINT)
+                       AS share
+              FROM h
         """,
         "top_pages_per_host": f"""
             SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,

@@ -349,3 +349,47 @@ def url_canonical(sf_dir: str) -> ray.data.Dataset:
         canonical_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
+
+
+def host_char_share(sf_dir: str) -> ray.data.Dataset:
+    """Windowed group-share: every page's fraction of its host's total
+    text bytes — ``SUM() OVER (PARTITION BY host)`` without a window
+    function: one host-keyed exchange, then per partition a single sort
+    + ``reduceat`` computes each host's total and broadcasts it back to
+    the rows by repeat.  Output (host, url, n_chars, host_chars, share).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_partitioned_groups
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host"),
+            "url": b["url"],
+            "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+        })
+
+    ds = read_pages(sf_dir, columns=["url", "text"], bundle_files=True).map_batches(
+        host_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    )
+
+    def share(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("host", "ascending"), ("url", "ascending")])
+        hcol = tbl["host"].combine_chunks()
+        codes = hcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]]) if len(codes) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(codes)))
+        x = tbl["n_chars"].to_numpy(zero_copy_only=False)
+        totals = np.add.reduceat(x, starts) if len(starts) else np.zeros(0, np.int64)
+        per_row = np.repeat(totals, counts)
+        return pa.table({
+            "host": tbl["host"],
+            "url": tbl["url"],
+            "n_chars": tbl["n_chars"],
+            "host_chars": pa.array(per_row, type=pa.int64()),
+            "share": pa.array(x.astype(np.float64) / per_row.astype(np.float64)),
+        })
+
+    return hash_partitioned_groups(ds, ["host"], share)

@@ -530,3 +530,46 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 30) -> ray.data.Dataset:
     return counted.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def doc_zscores(sf_dir: str) -> ray.data.Dataset:
+    """Feature standardization: each document's length z-score against
+    the corpus, ``(doc_id, n_chars, z)``.
+
+    The two-pass broadcast-scalar shape: pass 1 reduces exact integer
+    (sum, sum-of-squares, count) one-row partials (no keyed exchange —
+    the q22 scalar-subquery pattern); pass 2 is a row-local map using
+    the identical float64 expression as the SQL oracle, so z-scores
+    hash bit-equal.  Integer sumsq bounds: n_chars^2 x corpus rows must
+    stay < 2^63 (~3e9 docs of 1e3 chars) — raise to HUGEINT-style
+    splitting before that.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    docs = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "s": pa.array([int(x.sum())], type=pa.int64()),
+            "sq": pa.array([int((x * x).sum())], type=pa.int64()),
+            "n": pa.array([len(x)], type=pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas().sum()
+    s, sq, n = int(agg["s"]), int(agg["sq"]), int(agg["n"])
+    mean = s / n
+    std = float(np.sqrt(sq / n - mean * mean))
+
+    def z(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
+            "z": pa.array((x - mean) / std),
+        })
+
+    return docs.map_batches(z, batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=BATCH_SIZE)

@@ -241,3 +241,29 @@ def test_s2_rollup_partitions_corpus(ray_session):
     )
     par = got[got["level"] == 11].set_index("s2_cell")["n_pages"].sort_index()
     assert (rolled == par).all()
+
+
+def test_host_char_share_vs_duckdb(ray_session):
+    from rios_ray.pipelines.pages import host_char_share
+
+    synth.ensure_pages(SF)
+    path = synth.pages_path(SF)
+    got = host_char_share(SF).to_pandas()
+    want = duckdb.sql(f"""
+        WITH h AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                          url, length(text) AS n_chars
+                     FROM read_parquet('{path}/*.parquet'))
+        SELECT host, url, n_chars,
+               CAST(sum(n_chars) OVER (PARTITION BY host) AS BIGINT) AS host_chars,
+               CAST(n_chars AS DOUBLE)
+               / CAST(sum(n_chars) OVER (PARTITION BY host) AS BIGINT) AS share
+          FROM h""").df()
+    g = got.sort_values("url").reset_index(drop=True)
+    w = want.sort_values("url").reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in ("host", "url", "n_chars", "host_chars"):
+        assert (g[c] == w[c]).all(), c
+    np.testing.assert_array_equal(g["share"].to_numpy(), w["share"].to_numpy())
+    # shares of each host sum to 1 (up to float addition)
+    s = g.groupby("host")["share"].sum()
+    np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-9)

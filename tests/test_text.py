@@ -387,3 +387,18 @@ def test_heavy_hitter_tokens_vs_duckdb(ray_session, con):
         g = dict(zip(got["token"], got["n"]))
         w = dict(zip(want["token"], want["n"]))
         assert g == w
+
+
+def test_doc_zscores_vs_duckdb(ray_session, con):
+    got = T.doc_zscores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.execute("""
+        WITH s AS (SELECT CAST(sum(n_chars) AS BIGINT) AS s,
+                          CAST(sum(n_chars*n_chars) AS BIGINT) AS sq,
+                          count(*) AS n FROM docs)
+        SELECT doc_id, n_chars,
+               (CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE)/n)
+               / sqrt(CAST(sq AS DOUBLE)/n
+                      - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS z
+          FROM docs, s ORDER BY doc_id""").df()
+    assert (got["doc_id"] == want["doc_id"]).all()
+    np.testing.assert_array_equal(got["z"].to_numpy(), want["z"].to_numpy())
