@@ -224,15 +224,25 @@ def run_scaling() -> dict:
     clears 3M pages/s at 8 cpus, and on smaller inputs the ~1 s of
     fixed executor/dispatch overhead swamps the ratio.
 
-    The CPU pair is env-overridable (GRAFT_SCALING_CPUS="2,8").  The
-    default is 2->8 rather than 8->32 because this sandbox VM's 32
-    vCPUs share memory bandwidth: per-task wall time DOUBLES at 32-way
-    concurrency on the string-heavy flagship (93 ms -> 192 ms mean),
-    so an 8->32 pair on one box measures the host's bandwidth ceiling,
-    not the engine (absolute throughput at 8 cpus exceeds 1.3M
-    pages/s).  Real N->4N nodes bring 4x memory bandwidth with them;
-    the 2->8 pair keeps both sides under the single-box ceiling and
-    measures what a cluster would see.  See BASELINE.md.
+    The CPU pair is env-overridable (GRAFT_SCALING_CPUS="1,4").  The
+    default is 1->4 — the same protocol as the reference's published
+    concurrency example (serial vs 4 compute workers,
+    /root/reference/doc/source/concurrency.rst:149-184) — for two
+    measured reasons (BASELINE.md has the numbers):
+
+    - high side must stay under the box's shared-bandwidth ceiling:
+      per-core flagship throughput on this VM falls from ~530k
+      pages/s/core at 1-4-way to ~310-380k at 8-way and half that at
+      32-way, so any pair whose high side is >=8 vCPUs measures the
+      host ceiling, not the engine (real 4N nodes bring 4x bandwidth);
+    - the low side must not enjoy an overlap the high side also has:
+      a 2-cpu baseline overlaps read with compute and measures 2.2x
+      the 1-cpu rate (a >1.0 "efficiency" from 1->2, pure pipelining
+      artifact), deflating any 2->N ratio.
+
+    1->4 keeps both sides inside the ceiling with the serial reference
+    baseline.  See BASELINE.md for the 2->8 pair's measured window
+    variance (0.91 in a quiet window, 0.54 under evening CPU steal).
     """
     sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/graft_synth/sf2")
 
@@ -260,7 +270,7 @@ def run_scaling() -> dict:
 
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     ncpu_lo, ncpu_hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "1,4").split(",")
     )
     lo, hi = best(ncpu_lo, repeats), best(ncpu_hi, repeats)
     tput_lo = lo["pages_per_sec"]
