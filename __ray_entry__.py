@@ -405,6 +405,12 @@ def _q_dedup_exact(sf_dir: str):
     return D.exact_dedup(sf_dir)
 
 
+def _q_dedup_winnow_pairs(sf_dir: str):
+    from rios_ray.pipelines.dedup import winnow_pairs
+
+    return winnow_pairs(sf_dir, min_shared=40)
+
+
 def _q_dedup_paragraphs(sf_dir: str):
     from rios_ray.pipelines.text import paragraph_dedup
 
@@ -750,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_paragraphs": _q_dedup_paragraphs,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "text_heavy_hitters": _q_heavy_hitters,
         "doc_zscores": _q_doc_zscores,
         "host_char_share": _q_host_char_share,
@@ -836,6 +843,47 @@ def _winnow_sql() -> str:
     """
 
 
+def _winnow_pairs_sql(min_shared: int = 40) -> str:
+    """Shared-winnow-fingerprint pairs over the duplicate-injected
+    corpus: same rolling-hash recomputation as ``_winnow_sql``, then
+    per-doc DISTINCT window-min sets self-joined on the hash."""
+    import numpy as np
+
+    from rios_ray.pipelines.dedup import DUP_CORPUS_SQL
+
+    k, w = 8, 4
+    prime = np.uint64(1099511628211)
+    powers = [int(prime ** np.uint64(k - 1 - j)) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS HUGEINT)"
+        f" * CAST({powers[j]} AS HUGEINT)"
+        for j in range(k)
+    )
+    return f"""
+        WITH corpus AS ({DUP_CORPUS_SQL}),
+        d AS (SELECT doc_id, text, length(text) AS len FROM corpus),
+        g AS (SELECT doc_id, len - {k - 1} AS n,
+                     unnest(range(0, len - {k - 1})) AS i, text
+                FROM d WHERE len >= {k}),
+        h AS (SELECT doc_id, n, i,
+                     ({terms}) % CAST({1 << 64} AS HUGEINT) AS hh FROM g),
+        wm AS (SELECT doc_id, n, i,
+                      min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                        AS wmin
+                 FROM h),
+        sets AS (SELECT DISTINCT doc_id, wmin
+                   FROM wm WHERE n > {w} AND i <= n - {w}
+                 UNION
+                 SELECT doc_id, min(hh) AS wmin
+                   FROM h WHERE n <= {w} GROUP BY doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sets a JOIN sets b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
+
+
 def _text_oracle_sql() -> dict[str, str]:
     """Text-analysis oracles over the pre-registered ``documents`` view.
 
@@ -864,6 +912,7 @@ def _text_oracle_sql() -> dict[str, str]:
         # so ' the ' stands in as the paragraph separator — same code
         # path): keep the globally-first (doc_id, position) occurrence
         # of each distinct paragraph, rebuild docs from survivors
+        "dedup_winnow_pairs": _winnow_pairs_sql(40),
         "dedup_paragraphs": """
             WITH s AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
             p0 AS (SELECT doc_id, unnest(l) AS para,

@@ -513,3 +513,71 @@ def minhash_clusters(
         return pa.table({"doc_id": b["node"], "cluster_id": b["cluster_id"]})
 
     return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_pairs(
+    sf_dir: str, min_shared: int = 40, df_cap: int = 100_000
+) -> ray.data.Dataset:
+    """MOSS-style shared-span detection: (doc_a, doc_b, shared) for
+    document pairs sharing at least ``min_shared`` winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the k-gram
+    window-min hashes of ``text/analysis.py``), over the duplicate-
+    injected corpus.
+
+    Where Jaccard/MinHash measure whole-document similarity, shared
+    winnow fingerprints localize COPIED SPANS (each fingerprint pins an
+    8-char window), so this is the boilerplate / quotation / partial-
+    plagiarism detector.  Same exchange shape as the gram dedup:
+    explode per-doc fingerprint sets (already distinct per doc) ->
+    fingerprint-keyed exchange -> vectorized per-bucket pair emission
+    -> combiner-first pair counts -> threshold.  ``df_cap`` bounds the
+    per-fingerprint fan-out at scale (a fingerprint shared by F docs
+    emits O(F^2) pairs); the default is effectively uncapped so the
+    result matches the exact SQL oracle at test scale — cap it on real
+    corpora and the hot buckets (boilerplate spans) drop out first, by
+    design.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+    from ..text.analysis import winnow_fingerprint_one
+
+    def explode_fp(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy()
+        fps = [winnow_fingerprint_one(t) for t in texts]
+        n = np.array([len(f) for f in fps], dtype=np.int64)
+        wm = (
+            np.concatenate(fps).view(np.int64)
+            if fps
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {"doc_id": pa.array(np.repeat(ids, n)), "wmin": pa.array(wm)}
+        )
+
+    exploded = dup_corpus(sf_dir).map_batches(
+        explode_fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        codes = tbl["wmin"].to_numpy()
+        ids = tbl["doc_id"].to_numpy()
+        if not len(codes):
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        order = np.lexsort((ids, codes))
+        codes_s, ids_s = codes[order], ids[order]
+        new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        ia, ib = _run_pair_indices(new, df_cap)
+        return pa.table({"doc_a": pa.array(ids_s[ia]), "doc_b": pa.array(ids_s[ib])})
+
+    pairs = hash_partitioned_groups(exploded, ["wmin"], bucket_pairs)
+    shared = hash_grouped_aggregate(
+        pairs, ["doc_a", "doc_b"], [(None, "count", "shared")]
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["shared"], min_shared))
+
+    return shared.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -261,3 +261,29 @@ def test_minhash_clusters(ray_session):
     )
     assert got == want
     assert all(cid <= d for d, cid in got.items())
+
+
+def test_winnow_pairs_properties(ray_session):
+    """Every injected exact copy pairs with its original above any
+    threshold; pair counts are symmetric-free (a < b) and bounded by
+    the smaller fingerprint set."""
+    from rios_ray.pipelines.dedup import COPY_OFFSET, winnow_pairs
+    from rios_ray.text.analysis import winnow_fingerprint_one
+
+    sf = "/root/testdata/sf0.001"
+    got = winnow_pairs(sf, min_shared=5).to_pandas()
+    assert (got["doc_a"] < got["doc_b"]).all()
+    # exact copies share their full fingerprint set
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    copies = docs[docs["doc_id"] % 10 == 0]
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    by_pair = dict(zip(zip(got["doc_a"], got["doc_b"]), got["shared"]))
+    for _, r in copies.iterrows():
+        fp = winnow_fingerprint_one(r["text"])
+        if len(fp) >= 5:
+            key = (r["doc_id"], r["doc_id"] + COPY_OFFSET)
+            assert key in pairs, key
+            assert by_pair[key] == len(fp)
