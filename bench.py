@@ -146,6 +146,21 @@ def run_bench() -> dict:
 
         return frame_samples(sf_dir).count()
 
+    def winnow():
+        from rios_ray.pipelines.dedup import winnow_pairs
+
+        return winnow_pairs(sf_dir, min_shared=40).count()
+
+    def hitters():
+        from rios_ray.pipelines.text import heavy_hitter_tokens
+
+        return heavy_hitter_tokens(sf_dir, k=30).count()
+
+    def funnel():
+        from rios_ray.pipelines.events import funnel_conversions
+
+        return funnel_conversions(sf_dir).count()
+
     def radius():
         from rios_ray.pipelines.spatial_ops import radius_join
 
@@ -192,6 +207,9 @@ def run_bench() -> dict:
         "rel_q1": rel_q1,
         "rel_q5": rel_q5,
         "events_sessions": sessions,
+        "events_funnel": funnel,
+        "dedup_winnow": winnow,
+        "heavy_hitters": hitters,
         "media_frames": media_frames,
     }
     for name, fn in all_queries.items():

@@ -27,26 +27,6 @@ def doc_grams(text: str, n: int = DEFAULT_NGRAM) -> list[str]:
     return sorted({" ".join(w[i : i + n]) for i in range(len(w) - n + 1)})
 
 
-def explode_grams(batch: pa.Table, n: int = DEFAULT_NGRAM,
-                  id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """(doc_id, gram, n_grams) — one row per distinct gram per doc."""
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    out_id, out_gram, out_n = [], [], []
-    for i, t in zip(ids, texts):
-        gs = doc_grams(t, n)
-        out_id.extend([i] * len(gs))
-        out_gram.extend(gs)
-        out_n.extend([len(gs)] * len(gs))
-    return pa.table(
-        {
-            "doc_id": pa.array(out_id, type=pa.int64()),
-            "gram": pa.array(out_gram, type=pa.string()),
-            "n_grams": pa.array(out_n, type=pa.int64()),
-        }
-    )
-
-
 def gram_hash_arrays(texts: list[str], n: int = DEFAULT_NGRAM
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concatenated gram hashes + per-doc offsets + per-doc counts.

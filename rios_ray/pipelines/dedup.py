@@ -30,7 +30,6 @@ import ray.data
 from ..dedup import hashing as H
 from ..dedup.shingles import (
     DEFAULT_NGRAM,
-    explode_grams,
     gram_hash_arrays,
     gram_hash_arrays_vec,
     gram_hash_flat,

@@ -13,7 +13,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from .. import synth
 from ..sources.pages import read_pages
