@@ -698,6 +698,12 @@ def _q_knn_embeddings_ivf(sf_dir: str):
     return E.knn_embeddings_ivf(sf_dir, k=10)
 
 
+def _q_knn_embeddings_pq(sf_dir: str):
+    from rios_ray.pipelines import embeddings as E
+
+    return E.knn_embeddings_pq(sf_dir, k=10)
+
+
 def _q_emb_neardup(sf_dir: str):
     from rios_ray.pipelines import embeddings as E
 
@@ -794,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_dedup": _q_media_frame_dedup,
         "knn_embeddings": _q_knn_embeddings,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,  # rows-only (approximate by design)
+        "knn_embeddings_pq": _q_knn_embeddings_pq,  # rows-only (approximate by design; recall-tested)
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
