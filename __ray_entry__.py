@@ -301,6 +301,12 @@ def _q_s2_rollup(sf_dir: str):
     return s2_rollup(sf_dir, level=12, levels=2)
 
 
+def _q_polygon_raster_cells(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import polygon_raster_cells
+
+    return polygon_raster_cells(sf_dir)
+
+
 def _q_top_pages_per_host(sf_dir: str):
     from rios_ray.pipelines.pages import top_pages_per_host
 
@@ -521,6 +527,12 @@ def _q_rel_q4_bloom(sf_dir: str):
     from rios_ray.pipelines.relational import q4_order_priority
 
     return q4_order_priority(sf_dir, use_bloom=True)
+
+
+def _q_rel_q12(sf_dir: str):
+    from rios_ray.pipelines.relational import q12_priority_lines
+
+    return q12_priority_lines(sf_dir)
 
 
 def _q_rel_q14(sf_dir: str):
@@ -745,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_rollup": _q_cell_rollup,
         "zonal_stats": _q_zonal_stats,
         "s2_rollup": _q_s2_rollup,
+        "polygon_raster_cells": _q_polygon_raster_cells,
         "top_pages_per_host": _q_top_pages_per_host,
         "url_canonical": _q_url_canonical,
         "text_token_stats": _q_text_token_stats,
@@ -782,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q18_big_orders": _q_rel_q18,
         "rel_q10_returned_revenue": _q_rel_q10,
         "rel_q4_bloom": _q_rel_q4_bloom,
+        "rel_q12_priority_lines": _q_rel_q12,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
@@ -1405,6 +1419,17 @@ def _relational_oracle_sql() -> dict[str, str]:
                               AND l_returnflag = 'R')
              GROUP BY o_orderpriority
         """,
+        "rel_q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1997-01-01'
+             GROUP BY 1
+        """,
         "rel_q4_bloom": """
             SELECT o_orderpriority, count(*) AS order_count
               FROM orders
@@ -1656,6 +1681,32 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2"""
             for r in (DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1, DEFAULT_GRID_RES - 2)
         ),
+        "polygon_raster_cells": f"""
+            WITH cells AS (
+                SELECT unnest(range(0, {(1 << DEFAULT_GRID_RES) * (2 << DEFAULT_GRID_RES)}))
+                       AS cell
+            ),
+            pts AS (
+                SELECT cell,
+                       -180.0 + (CAST(cell % {2 << DEFAULT_GRID_RES} AS DOUBLE) + 0.5)
+                           * {grid_cell_step(DEFAULT_GRID_RES)!r} AS lon,
+                       90.0 - (CAST(cell // {2 << DEFAULT_GRID_RES} AS DOUBLE) + 0.5)
+                           * {grid_cell_step(DEFAULT_GRID_RES)!r} AS lat
+                  FROM cells
+            ),
+            cross_counts AS (
+                SELECT p.cell, e.poly_id, count(*) AS n_cross
+                  FROM pts p
+                  JOIN read_parquet('{synth.edges_path()}') e
+                    ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+                   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                 GROUP BY p.cell, e.poly_id
+            )
+            SELECT c.cell, c.poly_id, pg.category
+              FROM cross_counts c
+              JOIN read_parquet('{ppath}') pg USING (poly_id)
+             WHERE c.n_cross % 2 = 1
+        """,
         "zonal_stats": f"""
             WITH pts AS ({_pages_sql()}),
             pairs AS ({_pip_pairs_sql()}),

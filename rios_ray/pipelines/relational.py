@@ -707,3 +707,65 @@ def q10_returned_revenue(
         return out
 
     return top.map_batches(annotate, batch_format="pandas", batch_size=None)
+
+
+def q12_priority_lines(
+    sf_dir: str,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+) -> ray.data.Dataset:
+    """Q12-style shipping-priority check (adapted to the fixture's
+    columns): per linestatus, how many lines shipped in the window
+    belong to URGENT/HIGH-priority orders vs the rest.
+
+    The conditional-aggregate join shape: the filtered lineitem stream
+    meets orders in the partitioned exchange carrying only
+    (linestatus, priority); the CASE collapses per batch into two int
+    columns before the tiny grouped final (linestatus enum keys).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.join import partitioned_lookup_join
+
+    lo = np.datetime64(ship_from, "us").astype(np.int64)
+    hi = np.datetime64(ship_to, "us").astype(np.int64)
+
+    def in_window(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((d >= lo) & (d < hi))).select(
+            ["l_orderkey", "l_linestatus"]
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        in_window, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = partitioned_lookup_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("l_linestatus", pa.string())],
+        [("o_orderpriority", pa.string(), "prio")],
+        _join_partitions(),
+    )
+
+    def cases(b: pa.Table) -> pa.Table:
+        high = pc.is_in(b["prio"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        h = high.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_linestatus": b["l_linestatus"],
+            "high": pa.array(h),
+            "low": pa.array(1 - h),
+        })
+
+    tagged = joined.map_batches(
+        cases, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    return hash_grouped_aggregate(
+        tagged, ["l_linestatus"],
+        [("high", "sum", "high_line_count"), ("low", "sum", "low_line_count")],
+        final_mode="tree",
+    )

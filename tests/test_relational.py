@@ -255,3 +255,20 @@ def test_q10(ray_session, con):
                           ascending=[False, True]).reset_index(drop=True)
     for c in ("c_custkey", "revenue_cents", "c_name", "acctbal_cents", "n_name"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_q12(ray_session, con):
+    got = R.q12_priority_lines(SF).to_pandas().sort_values(
+        "l_linestatus").reset_index(drop=True)
+    want = con.execute("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY 1""").df()
+    for c in ("l_linestatus", "high_line_count", "low_line_count"):
+        assert got[c].tolist() == want[c].tolist(), c
