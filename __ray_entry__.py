@@ -210,20 +210,21 @@ def entry() -> Any:
 def _q_extracted_text(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
 
-    return geocoded_pages(sf_dir).select_columns(["url", "extracted_text"])
+    return geocoded_pages(sf_dir, families=()).select_columns(["url", "extracted_text"])
 
 
 def _q_geocode_cells(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
 
-    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "lat", "lon", "cell"])
+    return geocoded_pages(sf_dir, keep_text=False,
+                          families=("grid",)).select_columns(["url", "lat", "lon", "cell"])
 
 
 def _q_cell_counts(sf_dir: str):
     from rios_ray.functions.agg import grouped_count
     from rios_ray.pipelines.pages import geocoded_pages
 
-    ds = geocoded_pages(sf_dir, keep_text=False)
+    ds = geocoded_pages(sf_dir, keep_text=False, families=("grid",))
     return grouped_count(ds, ["cell"], alias="n_pages")
 
 
@@ -268,13 +269,15 @@ def _q_knn_cellring(sf_dir: str):
 def _q_s2_cells(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
 
-    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "s2_cell"])
+    return geocoded_pages(sf_dir, keep_text=False,
+                          families=("s2",)).select_columns(["url", "s2_cell"])
 
 
 def _q_hex_cells(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
 
-    return geocoded_pages(sf_dir, keep_text=False).select_columns(["url", "hex_cell"])
+    return geocoded_pages(sf_dir, keep_text=False,
+                          families=("hex",)).select_columns(["url", "hex_cell"])
 
 
 def _q_radius_join(sf_dir: str):
@@ -489,7 +492,8 @@ def _q_cell_pages_capped(sf_dir: str):
     from rios_ray.pipelines.pages import geocoded_pages
     from rios_ray.stages.skew import capped_per_key
 
-    ds = geocoded_pages(sf_dir, keep_text=False).select_columns(["cell", "url"])
+    ds = geocoded_pages(sf_dir, keep_text=False,
+                        families=("grid",)).select_columns(["cell", "url"])
     return capped_per_key(ds, "cell", 5, "url")
 
 

@@ -103,7 +103,8 @@ def run_bench() -> dict:
     def capped():
         from rios_ray.stages.skew import capped_per_key
 
-        ds = geocoded_pages(sf_dir, keep_text=False).select_columns(["cell", "url"])
+        ds = geocoded_pages(sf_dir, keep_text=False,
+                            families=("grid",)).select_columns(["cell", "url"])
         return capped_per_key(ds, "cell", 5, "url").count()
 
     def hosts():

@@ -42,11 +42,14 @@ def geocoded_pages(
     keep_text: bool = True,
     keep_ts: bool = False,
     paths: list[str] | None = None,
+    families: tuple[str, ...] = ("grid", "s2", "hex"),
 ) -> ray.data.Dataset:
     """pages -> extract_text (from html, byte-identical) -> geocode -> cells.
 
     Prune at the read: ``warc_ts`` is decoded only when a consumer asks
-    for it (``keep_ts``); no current pipeline does.
+    for it (``keep_ts``); no current pipeline does.  ``families`` prunes
+    the cell-index computation the same way — a grid-only consumer
+    skips the s2 trig and hex cube-rounding per row.
     """
     read_cols = ["url", "warc_ts", "html", "lang"] if keep_ts else ["url", "html", "lang"]
     # bundle small shard files on full scans; per-shard blocks are kept
@@ -63,7 +66,7 @@ def geocoded_pages(
         cols = [c for c in cols if c != "extracted_text"]
     ds = ds.select_columns(cols)
     return ds.map_batches(
-        lambda b: assign_cells(b, grid_res, s2_level, hex_res),
+        lambda b: assign_cells(b, grid_res, s2_level, hex_res, families),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=BATCH_SIZE,
@@ -81,6 +84,7 @@ def spatial_join(sf_dir: str, concurrency=None, **geo_kwargs) -> ray.data.Datase
     """
     ppath, _ = synth.ensure_polygons()
     polys_ref = ray.put(pq.read_table(ppath))
+    geo_kwargs.setdefault("families", ("grid",))
     ds = geocoded_pages(sf_dir, keep_text=False, **geo_kwargs)
     if concurrency is not None:
         return ds.map_batches(
@@ -155,7 +159,7 @@ def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     pool + per-worker query-matrix cache, see spatial_join)."""
     qpath = synth.ensure_knn_queries()
     q_ref = ray.put(pq.read_table(qpath))
-    ds = geocoded_pages(sf_dir, keep_text=False)
+    ds = geocoded_pages(sf_dir, keep_text=False, families=("grid",))
     partial = ds.map_batches(
         knn_partial_fn(q_ref, k),
         batch_format="pyarrow",
@@ -197,7 +201,8 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
 
     # pass 1: per-cell counts (small: bounded by grid cells, not rows)
     counts_df = grouped_count(
-        geocoded_pages(sf_dir, keep_text=False).select_columns(["cell"]),
+        geocoded_pages(sf_dir, keep_text=False,
+                       families=("grid",)).select_columns(["cell"]),
         ["cell"], alias="n",
     ).to_pandas()
     cell_counts = dict(zip(counts_df["cell"].astype(int), counts_df["n"].astype(int)))
@@ -255,7 +260,7 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
             "d2": pa_.array(np.concatenate(out_d2), type=pa_.float64()),
         })
 
-    partial = geocoded_pages(sf_dir, keep_text=False).map_batches(
+    partial = geocoded_pages(sf_dir, keep_text=False, families=("grid",)).map_batches(
         refine, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
     return partial.repartition(1).map_batches(

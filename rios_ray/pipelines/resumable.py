@@ -31,7 +31,7 @@ from .pages import BATCH_SIZE, geocoded_pages
 
 def _build_shard_partials(sf_dir: str, polys_ref):
     def build(name: str, inputs: list[str]) -> ray.data.Dataset:
-        ds = geocoded_pages(sf_dir, keep_text=False, paths=inputs)
+        ds = geocoded_pages(sf_dir, keep_text=False, paths=inputs, families=("grid",))
         joined = ds.map_batches(
             pip_join_fn(polys_ref),
             batch_format="pyarrow",

@@ -108,7 +108,8 @@ def radius_join(
             "d2": pa.array(np.concatenate(out_d2), type=pa.float64()),
         })
 
-    return geocoded_pages(sf_dir, keep_text=False, grid_res=grid_res).map_batches(
+    return geocoded_pages(sf_dir, keep_text=False, grid_res=grid_res,
+                          families=("grid",)).map_batches(
         within, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )
 
@@ -149,7 +150,8 @@ def cell_rollup(
             "cell": pa.array(np.concatenate(out_cell)),
         })
 
-    ds = geocoded_pages(sf_dir, keep_text=False, grid_res=res).select_columns(
+    ds = geocoded_pages(sf_dir, keep_text=False, grid_res=res,
+                        families=("grid",)).select_columns(
         ["cell"]
     ).map_batches(
         explode_levels, batch_format="pyarrow", zero_copy_batch=True,
@@ -187,7 +189,8 @@ def s2_rollup(sf_dir: str, level: int = 12, levels: int = 2) -> ray.data.Dataset
             "s2_cell": pa.array(np.concatenate(out_cell)),
         })
 
-    ds = geocoded_pages(sf_dir, keep_text=False, s2_level=level).select_columns(
+    ds = geocoded_pages(sf_dir, keep_text=False, s2_level=level,
+                        families=("s2",)).select_columns(
         ["s2_cell"]
     ).map_batches(
         explode_levels, batch_format="pyarrow", zero_copy_batch=True,
@@ -221,7 +224,7 @@ def zonal_stats(sf_dir: str, grid_res: int = DEFAULT_GRID_RES) -> ray.data.Datas
         )
 
     ds = (
-        geocoded_pages(sf_dir, keep_text=True, grid_res=grid_res)
+        geocoded_pages(sf_dir, keep_text=True, grid_res=grid_res, families=())
         .map_batches(with_n_chars, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=BATCH_SIZE)
         .map_batches(

@@ -22,10 +22,17 @@ def assign_cells(
     grid_res: int = DEFAULT_GRID_RES,
     s2_level: int = DEFAULT_S2_LEVEL,
     hex_res: int = DEFAULT_HEX_RES,
+    families: tuple[str, ...] = ("grid", "s2", "hex"),
 ) -> pa.Table:
+    """``families`` prunes the index computation the way ``columns``
+    prunes the read: a grid-only consumer skips the s2 trig (cos/sin
+    per row) and hex cube-rounding entirely."""
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
-    batch = batch.append_column("cell", pa.array(cells.grid_cell_id(lon, lat, grid_res)))
-    batch = batch.append_column("s2_cell", pa.array(cells.s2_cell_id(lon, lat, s2_level)))
-    batch = batch.append_column("hex_cell", pa.array(cells.hex_cell_id(lon, lat, hex_res)))
+    if "grid" in families:
+        batch = batch.append_column("cell", pa.array(cells.grid_cell_id(lon, lat, grid_res)))
+    if "s2" in families:
+        batch = batch.append_column("s2_cell", pa.array(cells.s2_cell_id(lon, lat, s2_level)))
+    if "hex" in families:
+        batch = batch.append_column("hex_cell", pa.array(cells.hex_cell_id(lon, lat, hex_res)))
     return batch
