@@ -310,6 +310,12 @@ def _q_polygon_raster_cells(sf_dir: str):
     return polygon_raster_cells(sf_dir)
 
 
+def _q_cell_focal_stats(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import cell_focal_stats
+
+    return cell_focal_stats(sf_dir)
+
+
 def _q_top_pages_per_host(sf_dir: str):
     from rios_ray.pipelines.pages import top_pages_per_host
 
@@ -762,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "s2_rollup": _q_s2_rollup,
         "polygon_raster_cells": _q_polygon_raster_cells,
+        "cell_focal_stats": _q_cell_focal_stats,
         "top_pages_per_host": _q_top_pages_per_host,
         "url_canonical": _q_url_canonical,
         "text_token_stats": _q_text_token_stats,
@@ -1685,6 +1692,23 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2"""
             for r in (DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1, DEFAULT_GRID_RES - 2)
         ),
+        "cell_focal_stats": f"""
+            WITH c AS (
+                SELECT {_cell_sql()} AS cell, count(*) AS n
+                  FROM ({_pages_sql()}) GROUP BY 1
+            ),
+            d AS (SELECT cell, n, cell // {2 << DEFAULT_GRID_RES} AS cy,
+                         cell % {2 << DEFAULT_GRID_RES} AS cx FROM c)
+            SELECT a.cell, a.n AS n_pages,
+                   CAST(sum(b.n) AS BIGINT) AS focal_sum,
+                   CAST(CAST(sum(b.n) AS BIGINT) AS DOUBLE) / 9.0 AS focal_mean
+              FROM d a JOIN d b
+                ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+               AND b.cx IN ((a.cx + {(2 << DEFAULT_GRID_RES) - 1}) % {2 << DEFAULT_GRID_RES},
+                            a.cx,
+                            (a.cx + 1) % {2 << DEFAULT_GRID_RES})
+             GROUP BY 1, 2
+        """,
         "polygon_raster_cells": f"""
             WITH cells AS (
                 SELECT unnest(range(0, {(1 << DEFAULT_GRID_RES) * (2 << DEFAULT_GRID_RES)}))

@@ -28,7 +28,11 @@ import ray.data
 
 from .. import cells as C
 from .. import synth
-from ..functions.agg import grouped_count, hash_grouped_aggregate
+from ..functions.agg import (
+    grouped_count,
+    hash_grouped_aggregate,
+    hash_partitioned_groups,
+)
 from ..stages.cellassign import DEFAULT_GRID_RES
 from ..stages.pip import pip_join_fn
 from .pages import BATCH_SIZE, geocoded_pages
@@ -296,3 +300,73 @@ def polygon_raster_cells(
         batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE,
     )
     return joined.select_columns(["cell", "poly_id", "category"])
+
+
+def cell_focal_stats(sf_dir: str, res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
+    """Focal (3x3 neighborhood) statistics over the cell-count surface:
+    for every OCCUPIED cell, its own count plus the zero-padded
+    neighborhood sum and mean — the raster convolution / focal-mean
+    analogue in cell-key space (the reference's block-margin overlap
+    filters, e.g. testoverlap's 3x3 mean, lifted from pixel windows to
+    grid cells).
+
+    Shape: counts are bounded by the grid, so after the combiner-first
+    count each cell emits nine (neighbor, n) contribution rows
+    (longitude wraps, latitude clips — cells.grid_cell_ring semantics)
+    and ONE keyed exchange both sums contributions and keeps only
+    receivers that are themselves occupied (zero-padding = absent
+    neighbors contribute nothing; the divisor stays 9).
+    """
+    ny, nx = 1 << res, 2 << res
+
+    counts = grouped_count(
+        geocoded_pages(sf_dir, keep_text=False, grid_res=res,
+                       families=("grid",)).select_columns(["cell"]),
+        ["cell"], alias="n", final_mode="tree",
+    )
+
+    def contributions(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy()
+        n = b["n"].to_numpy()
+        cy, cx = cell // nx, cell % nx
+        out_cell, out_n, out_self = [], [], []
+        for dy in (-1, 0, 1):
+            ncy = cy + dy
+            ok = (ncy >= 0) & (ncy < ny)
+            for dx in (-1, 0, 1):
+                ncx = (cx + dx) % nx
+                out_cell.append((ncy[ok] * nx + ncx[ok]))
+                out_n.append(n[ok])
+                out_self.append(
+                    np.full(int(ok.sum()), int(dy == 0 and dx == 0), dtype=np.int8)
+                )
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_cell)),
+            "n": pa.array(np.concatenate(out_n)),
+            "is_self": pa.array(np.concatenate(out_self)),
+        })
+
+    contrib = counts.map_batches(
+        contributions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def reduce_cells(tbl: pa.Table) -> pa.Table:
+        cell = tbl["cell"].to_numpy()
+        n = tbl["n"].to_numpy()
+        is_self = tbl["is_self"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        c_s, n_s, s_s = cell[order], n[order], is_self[order]
+        new = np.concatenate([[True], c_s[1:] != c_s[:-1]]) if len(c_s) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        focal = np.add.reduceat(n_s, starts) if len(starts) else np.zeros(0, np.int64)
+        own = np.add.reduceat(n_s * s_s, starts) if len(starts) else np.zeros(0, np.int64)
+        has_self = (np.add.reduceat(s_s.astype(np.int64), starts) > 0) if len(starts) else np.zeros(0, bool)
+        return pa.table({
+            "cell": pa.array(c_s[starts][has_self]),
+            "n_pages": pa.array(own[has_self], type=pa.int64()),
+            "focal_sum": pa.array(focal[has_self], type=pa.int64()),
+            "focal_mean": pa.array(focal[has_self].astype(np.float64) / 9.0),
+        })
+
+    return hash_partitioned_groups(contrib, ["cell"], reduce_cells)

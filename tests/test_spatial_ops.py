@@ -267,3 +267,39 @@ def test_host_char_share_vs_duckdb(ray_session):
     # shares of each host sum to 1 (up to float addition)
     s = g.groupby("host")["share"].sum()
     np.testing.assert_allclose(s.to_numpy(), 1.0, rtol=1e-9)
+
+
+def test_cell_focal_stats_vs_numpy(ray_session):
+    """Focal sums equal a dense-grid 3x3 convolution with lon wrap and
+    lat zero-padding (independent numpy oracle)."""
+    from rios_ray.pipelines.spatial_ops import cell_focal_stats
+    from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+    synth.ensure_pages(SF)
+    res = DEFAULT_GRID_RES
+    ny, nx = 1 << res, 2 << res
+    got = cell_focal_stats(SF, res=res).to_pandas()
+    # dense counts grid from the oracle-parsed points
+    pts = duckdb.sql(f"SELECT lat, lon FROM ({_pts_sql()})").df()
+    dense = np.zeros((ny, nx), dtype=np.int64)
+    ids = cells.grid_cell_id(pts["lon"].to_numpy(), pts["lat"].to_numpy(), res)
+    np.add.at(dense, (ids // nx, ids % nx), 1)
+    conv = np.zeros_like(dense)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shifted = np.roll(dense, dx, axis=1)  # lon wraps
+            if dy == -1:
+                conv[1:, :] += shifted[:-1, :]    # lat clips
+            elif dy == 1:
+                conv[:-1, :] += shifted[1:, :]
+            else:
+                conv += shifted
+    cy = got["cell"].to_numpy() // nx
+    cx = got["cell"].to_numpy() % nx
+    assert (got["n_pages"].to_numpy() == dense[cy, cx]).all()
+    assert (got["focal_sum"].to_numpy() == conv[cy, cx]).all()
+    np.testing.assert_array_equal(
+        got["focal_mean"].to_numpy(), conv[cy, cx].astype(np.float64) / 9.0
+    )
+    # only occupied cells are emitted
+    assert (dense[cy, cx] > 0).all() and len(got) == (dense > 0).sum()
