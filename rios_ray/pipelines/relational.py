@@ -45,8 +45,12 @@ def _cents(x: np.ndarray) -> np.ndarray:
 
 
 def _join_partitions() -> int:
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, min(16, cpus))
+    """Partition count for the fact-fact exchanges: the cluster-sized
+    default every other exchange uses (max(16, 2 x CPUs) — measured on
+    q5 at 32 cpus: 16 partitions 7.4 s, 64 partitions 5.0 s)."""
+    from ..functions.agg import cluster_partitions
+
+    return cluster_partitions()
 
 
 def q1_pricing_summary(sf_dir: str, ship_before: str = "2000-09-01") -> ray.data.Dataset:
