@@ -684,6 +684,18 @@ def _q_events_funnel(sf_dir: str):
     return funnel_conversions(sf_dir)
 
 
+def _q_events_anomalies(sf_dir: str):
+    from rios_ray.pipelines.events import window_anomalies
+
+    return window_anomalies(sf_dir, sigma=2.0)
+
+
+def _q_doc_corr(sf_dir: str):
+    from rios_ray.pipelines.text import doc_length_token_corr
+
+    return doc_length_token_corr(sf_dir)
+
+
 def _q_media_frame_dedup(sf_dir: str):
     from rios_ray.pipelines.multimodal import frame_dedup
 
@@ -814,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_funnel": _q_events_funnel,
+        "events_window_anomalies": _q_events_anomalies,
+        "doc_length_token_corr": _q_doc_corr,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -956,6 +970,31 @@ def _text_oracle_sql() -> dict[str, str]:
                     FROM p)
             SELECT doc_id, string_agg(para, ' the ' ORDER BY i) AS text
               FROM k WHERE rn = 1 GROUP BY doc_id
+        """,
+        # profiling scalar: Pearson corr from exact-integer moments
+        "doc_length_token_corr": r"""
+            WITH t AS (
+                SELECT length(text) AS x,
+                       len(regexp_extract_all(text, '\S+')) AS y
+                  FROM documents
+            ),
+            s AS (
+                SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       count(*) AS n
+                  FROM t
+            )
+            SELECT n,
+                   ((CAST(sxy AS DOUBLE) / n)
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                   / sqrt(((CAST(sxx AS DOUBLE) / n)
+                           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                        * ((CAST(syy AS DOUBLE) / n)
+                           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+                   AS corr
+              FROM s
         """,
         # two-pass standardization: exact-integer scalar aggregate
         # broadcast back as the identical float64 expression
@@ -1481,6 +1520,28 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_window_anomalies": f"""
+            WITH w AS (
+                SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS "window",
+                       count(*) AS n_events
+                  FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(sum(n_events) AS BIGINT) AS s,
+                       CAST(sum(n_events * n_events) AS BIGINT) AS sq,
+                       count(*) AS n
+                  FROM w
+            )
+            SELECT "window", n_events,
+                   (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                   / sqrt(CAST(sq AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+              FROM w, s
+             WHERE (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                   * (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 > {2.0 * 2.0!r} * (CAST(sq AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
         """,
         "events_funnel": f"""
             WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),

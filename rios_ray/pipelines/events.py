@@ -659,3 +659,55 @@ def funnel_conversions(
         })
 
     return hash_partitioned_groups(ds, ["user_id"], per_partition)
+
+
+def window_anomalies(
+    sf_dir: str, window_us: int = DEFAULT_WINDOW_US, sigma: float = 2.0
+) -> ray.data.Dataset:
+    """Windows whose event count deviates more than ``sigma`` standard
+    deviations from the mean window count — the monitoring composition
+    (windowed aggregate -> corpus scalar -> row-local filter).
+
+    Pass 1: per-window counts (combiner-first, bounded keys).  Pass 2:
+    exact integer (sum, sumsq, n) of the COUNTS, merged driver-side.
+    Pass 3: row-local z-score + filter with the identical float64
+    expression as the oracle.  The filter predicate is computed on both
+    sides as ``(c - mean)^2 > sigma^2 * var`` in the same op order.
+    """
+    import pyarrow.compute as pc
+
+    counts = tumbling_counts(sf_dir, window_us)
+
+    def shrink(b: pa.Table) -> pa.Table:
+        return pa.table({"window": b["window"], "n_events": b["n_events"]})
+
+    per_window = hash_grouped_aggregate(
+        counts.map_batches(shrink, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["window"], [("n_events", "sum", "n_events")], final_mode="tree",
+    ).materialize()  # bounded: one row per window
+
+    stats = per_window.map_batches(
+        lambda b: pa.table({
+            "s": pa.array([int(b["n_events"].to_numpy().sum())], type=pa.int64()),
+            "sq": pa.array([int((b["n_events"].to_numpy().astype(np.int64) ** 2).sum())],
+                           type=pa.int64()),
+            "n": pa.array([b.num_rows], type=pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    ).to_pandas().sum()
+    s, sq, n = int(stats["s"]), int(stats["sq"]), int(stats["n"])
+    mean = s / n
+    var = sq / n - mean * mean
+
+    def flag(b: pa.Table) -> pa.Table:
+        c = b["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dev = c - mean
+        keep = dev * dev > sigma * sigma * var
+        out = b.filter(pa.array(keep))
+        z = (out["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+             - mean) / np.sqrt(var)
+        return out.append_column("z", pa.array(z))
+
+    return per_window.map_batches(flag, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)

@@ -573,3 +573,49 @@ def doc_zscores(sf_dir: str) -> ray.data.Dataset:
 
     return docs.map_batches(z, batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=BATCH_SIZE)
+
+
+def doc_length_token_corr(sf_dir: str) -> ray.data.Dataset:
+    """Pearson correlation of document length vs token count — the
+    statistical-profiling scalar, computed from exact integer
+    (sum x, sum y, sum xy, sum x^2, sum y^2, n) partials so the final
+    float expression is bit-identical to the SQL oracle's regardless
+    of reduction order.  One-row partials, no keyed exchange (the q22
+    scalar shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..text.analysis import token_stats
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = token_stats(b)
+        x = t["n_chars_txt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "sx": pa.array([int(x.sum())], type=pa.int64()),
+            "sy": pa.array([int(y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+            "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            "n": pa.array([len(x)], type=pa.int64()),
+        })
+
+    def merge(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = {c: int(pc.sum(b[c]).as_py()) for c in b.column_names}
+        n = g["n"]
+        cov = g["sxy"] / n - (g["sx"] / n) * (g["sy"] / n)
+        vx = g["sxx"] / n - (g["sx"] / n) * (g["sx"] / n)
+        vy = g["syy"] / n - (g["sy"] / n) * (g["sy"] / n)
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "corr": pa.array([cov / np.sqrt(vx * vy)], type=pa.float64()),
+        })
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ds.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                         batch_size=None)

@@ -1,6 +1,7 @@
 """Windowed-aggregate golden tests vs DuckDB (tumbling, sliding,
 gap-based sessions)."""
 
+import numpy as np
 import pandas as pd
 import duckdb
 import pytest
@@ -254,3 +255,28 @@ def test_funnel_vs_duckdb(ray_session, con):
         g = sorted(map(tuple, got[["user_id", "n_from", "n_converted"]].itertuples(index=False)))
         w = sorted(map(tuple, want[["user_id", "n_from", "n_converted"]].itertuples(index=False)))
         assert g == w and len(g) > 0
+
+
+def test_window_anomalies_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import DEFAULT_WINDOW_US, window_anomalies
+
+    W = DEFAULT_WINDOW_US
+    got = window_anomalies(SF, sigma=1.5).to_pandas().sort_values(
+        "window").reset_index(drop=True)
+    want = con.execute(f"""
+        WITH w AS (SELECT CAST(floor(epoch_us(ts)/{W}) AS BIGINT) AS "window",
+                          count(*) AS n_events FROM events GROUP BY 1),
+        s AS (SELECT CAST(sum(n_events) AS BIGINT) AS s,
+                     CAST(sum(n_events*n_events) AS BIGINT) AS sq,
+                     count(*) AS n FROM w)
+        SELECT "window", n_events,
+               (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE)/n)
+               / sqrt(CAST(sq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)) AS z
+          FROM w, s
+         WHERE (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE)/n)
+               * (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE)/n)
+             > {1.5 * 1.5!r} * (CAST(sq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n))
+         ORDER BY 1""").df()
+    assert got["window"].tolist() == want["window"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    np.testing.assert_array_equal(got["z"].to_numpy(), want["z"].to_numpy())

@@ -402,3 +402,20 @@ def test_doc_zscores_vs_duckdb(ray_session, con):
           FROM docs, s ORDER BY doc_id""").df()
     assert (got["doc_id"] == want["doc_id"]).all()
     np.testing.assert_array_equal(got["z"].to_numpy(), want["z"].to_numpy())
+
+
+def test_doc_length_token_corr_vs_duckdb(ray_session, con):
+    got = T.doc_length_token_corr(SF).to_pandas()
+    want = con.execute(r"""
+        WITH t AS (SELECT length(text) AS x,
+                          len(regexp_extract_all(text, '\S+')) AS y FROM docs),
+        s AS (SELECT CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+                     CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx,
+                     CAST(sum(y*y) AS BIGINT) syy, count(*) n FROM t)
+        SELECT n, ((CAST(sxy AS DOUBLE)/n) - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+               / sqrt(((CAST(sxx AS DOUBLE)/n) - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n))
+                    * ((CAST(syy AS DOUBLE)/n) - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))) AS corr
+          FROM s""").df()
+    assert int(got["n"][0]) == int(want["n"][0])
+    assert got["corr"][0] == want["corr"][0]  # bit-exact
+    assert 0.5 < got["corr"][0] <= 1.0  # length and tokens correlate
