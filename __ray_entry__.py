@@ -684,6 +684,12 @@ def _q_events_funnel(sf_dir: str):
     return funnel_conversions(sf_dir)
 
 
+def _q_events_retention(sf_dir: str):
+    from rios_ray.pipelines.events import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
 def _q_events_anomalies(sf_dir: str):
     from rios_ray.pipelines.events import window_anomalies
 
@@ -827,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
+        "events_retention": _q_events_retention,
         "doc_length_token_corr": _q_doc_corr,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
@@ -1520,6 +1527,17 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_retention": f"""
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS w
+                  FROM events
+            ),
+            f AS (SELECT user_id, min(w) AS cohort FROM a GROUP BY 1)
+            SELECT f.cohort, a.w - f.cohort AS "offset", count(*) AS n_users
+              FROM a JOIN f USING (user_id)
+             GROUP BY 1, 2
         """,
         "events_window_anomalies": f"""
             WITH w AS (

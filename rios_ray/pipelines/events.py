@@ -711,3 +711,52 @@ def window_anomalies(
 
     return per_window.map_batches(flag, batch_format="pyarrow",
                                   zero_copy_batch=True, batch_size=None)
+
+
+def retention_cohorts(
+    sf_dir: str, window_us: int = DEFAULT_WINDOW_US
+) -> ray.data.Dataset:
+    """Cohort retention: users grouped by their FIRST active window
+    (the cohort), counted at each later window offset they return in —
+    ``(cohort, offset, n_users)``.
+
+    One user-keyed exchange: per-batch DISTINCT (user, window) partials
+    bound what moves (<= active windows per user per batch), each
+    partition holds complete user timelines so cohort (min window) and
+    offsets are computed locally with one sort + reduceat-style run
+    scan, and the final count is combiner-first over (cohort, offset)
+    keys bounded by windows^2.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+
+    def assign(b: pa.Table) -> pa.Table:
+        w = _epoch_us(b) // window_us
+        t = pa.table({"user_id": b["user_id"], "w": pa.array(w)})
+        return t.group_by(["user_id", "w"]).aggregate([])  # batch-distinct
+
+    ds = read_events(sf_dir, columns=["ts", "user_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, uid))
+        u_s, w_s = uid[order], w[order]
+        # cross-batch dedupe of (user, w)
+        keep = np.concatenate([[True], (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1])]) if len(u_s) else np.zeros(0, bool)
+        u_s, w_s = u_s[keep], w_s[keep]
+        new = np.concatenate([[True], u_s[1:] != u_s[:-1]]) if len(u_s) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(u_s)))
+        cohort = np.repeat(w_s[starts], counts)  # per-user min (sorted)
+        return pa.table({
+            "cohort": pa.array(cohort),
+            "offset": pa.array(w_s - cohort),
+        })
+
+    pairs = hash_partitioned_groups(ds, ["user_id"], per_user)
+    return hash_grouped_aggregate(
+        pairs, ["cohort", "offset"], [(None, "count", "n_users")],
+        final_mode="tree",
+    )

@@ -280,3 +280,22 @@ def test_window_anomalies_vs_duckdb(ray_session, con):
     assert got["window"].tolist() == want["window"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
     np.testing.assert_array_equal(got["z"].to_numpy(), want["z"].to_numpy())
+
+
+def test_retention_cohorts_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import retention_cohorts
+
+    got = retention_cohorts(SF).to_pandas()
+    want = con.execute(f"""
+        WITH a AS (SELECT DISTINCT user_id,
+                          CAST(floor(epoch_us(ts)/{W}) AS BIGINT) AS w FROM events),
+        f AS (SELECT user_id, min(w) AS cohort FROM a GROUP BY 1)
+        SELECT f.cohort, a.w - f.cohort AS "offset", count(*) AS n_users
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2""").df()
+    g = sorted(map(tuple, got[["cohort", "offset", "n_users"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["cohort", "offset", "n_users"]].itertuples(index=False)))
+    assert g == w and len(g) > 0
+    # offset 0 of every cohort counts the cohort's full size
+    base = got[got["offset"] == 0].set_index("cohort")["n_users"]
+    rest = got[got["offset"] > 0]
+    assert (rest.set_index("cohort")["n_users"] <= base[rest["cohort"]].to_numpy()).all()
