@@ -188,3 +188,68 @@ def partitioned_exists_join(
         return tbl.select(l_names).take(pa.array(lkeep))
 
     return hash_partitioned_groups(u, ["_key"], gather, num_partitions)
+
+
+def auto_lookup_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    left_cols: list[tuple[str, pa.DataType]],
+    attach_cols: list[tuple[str, pa.DataType, str]],
+    num_partitions: int | None = None,
+    broadcast_cap_rows: int = 2_000_000,
+):
+    """Strategy-selecting lookup join — the q18 broadcast-cap pattern
+    generalized: when the (uniquely-keyed) right side fits the cap it
+    is collected once, sorted, shipped via ``ray.put`` and joined
+    MAP-SIDE with a vectorized ``searchsorted`` — zero shuffle, the
+    left stream never moves.  Past the cap it falls back to the
+    partitioned union exchange with identical inner-join semantics.
+
+    The cap bounds driver + per-worker memory (rows x row width), not
+    correctness; both paths are equality-tested.
+    """
+    import ray
+
+    right_mat = right.materialize() if hasattr(right, "materialize") else right
+    if right_mat.count() > broadcast_cap_rows:
+        return partitioned_lookup_join(
+            left, right_mat, left_key, right_key, left_cols, attach_cols,
+            num_partitions,
+        )
+
+    tbl = pa.concat_tables(
+        t for t in ray.get(right_mat.to_arrow_refs()) if t.num_rows
+    )
+    keys = tbl[right_key].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    sorted_keys = keys[order]
+    attach_sorted = {
+        rcol: tbl[rcol].combine_chunks().take(pa.array(order)).cast(typ)
+        for rcol, typ, _ in attach_cols
+    }
+    ref = ray.put((sorted_keys, attach_sorted))
+    l_names = [n for n, _ in left_cols]
+
+    def map_side(b: pa.Table) -> pa.Table:
+        sk, attach = ray.get(ref)
+        lk = b[left_key].to_numpy(zero_copy_only=False)
+        if len(sk):
+            pos = np.searchsorted(sk, lk)
+            pos_c = np.minimum(pos, len(sk) - 1)
+            hit = sk[pos_c] == lk
+        else:
+            hit = np.zeros(len(lk), dtype=bool)
+        b = b.filter(pa.array(hit))
+        out = {n: (b[n].cast(t) if b[n].type != t else b[n]) for n, t in left_cols}
+        take = pa.array(pos_c[hit])
+        import pyarrow.compute as pc
+
+        for rcol, _, out_name in attach_cols:
+            out[out_name] = pc.take(attach[rcol], take)
+        return pa.table(out)
+
+    return left.map_batches(
+        map_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )

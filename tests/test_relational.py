@@ -272,3 +272,39 @@ def test_q12(ray_session, con):
          GROUP BY 1 ORDER BY 1""").df()
     for c in ("l_linestatus", "high_line_count", "low_line_count"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_auto_lookup_join_both_paths(ray_session):
+    """Broadcast map-side path == partitioned exchange path == DuckDB."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.join import auto_lookup_join, partitioned_lookup_join
+
+    rng = np.random.default_rng(17)
+    lt = pa.table({
+        "k": pa.array(rng.integers(0, 300, 5000)),
+        "v": pa.array(rng.integers(0, 100, 5000)),
+    })
+    rt = pa.table({
+        "rk": pa.array(np.arange(0, 300, 2)),  # half the keys match
+        "name": pa.array([f"n{i}" for i in range(0, 300, 2)]),
+    })
+    want = duckdb.sql(
+        "SELECT l.k, l.v, r.name FROM lt l JOIN rt r ON l.k = r.rk"
+    ).df()
+    args = (
+        "k", "rk",
+        [("k", pa.int64()), ("v", pa.int64())],
+        [("name", pa.string(), "name")],
+    )
+    for cap in (2_000_000, 0):  # broadcast path, then forced exchange path
+        got = auto_lookup_join(
+            ray.data.from_arrow(lt).repartition(6),
+            ray.data.from_arrow(rt),
+            *args, broadcast_cap_rows=cap,
+        ).to_pandas()
+        g = sorted(map(tuple, got[["k", "v", "name"]].itertuples(index=False)))
+        w = sorted(map(tuple, want[["k", "v", "name"]].itertuples(index=False)))
+        assert g == w and len(g) > 0, f"cap={cap}"
