@@ -684,6 +684,18 @@ def _q_events_funnel(sf_dir: str):
     return funnel_conversions(sf_dir)
 
 
+def _q_events_bigrams(sf_dir: str):
+    from rios_ray.pipelines.events import event_type_bigrams
+
+    return event_type_bigrams(sf_dir)
+
+
+def _q_lang_confusion(sf_dir: str):
+    from rios_ray.pipelines.text import lang_confusion
+
+    return lang_confusion(sf_dir)
+
+
 def _q_events_retention(sf_dir: str):
     from rios_ray.pipelines.events import retention_cohorts
 
@@ -834,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
         "events_retention": _q_events_retention,
+        "events_bigrams": _q_events_bigrams,
+        "lang_confusion": _q_lang_confusion,
         "doc_length_token_corr": _q_doc_corr,
         "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
         "events_asof_join": _q_events_asof,
@@ -1035,6 +1049,15 @@ def _text_oracle_sql() -> dict[str, str]:
         # composed cleaning pipeline: lang filter + quality floor +
         # word-repetition ceiling + exact dedup (min doc_id per
         # normalized md5) over the duplicate-injected corpus
+        # classifier-evaluation confusion matrix (labeled lang vs the
+        # n-gram heuristic's prediction)
+        "lang_confusion": rf"""
+            WITH c AS (SELECT lang, {lang_counts} FROM documents),
+            m AS (SELECT *, GREATEST(c_en,c_de,c_fr,c_es,c_zh) AS m FROM c)
+            SELECT lang, CASE WHEN m = 0 THEN 'und' {lang_cases} END AS lang_pred,
+                   count(*) AS n_docs
+              FROM m GROUP BY 1, 2
+        """,
         "corpus_clean": rf"""
             WITH corpus AS ({DUP_CORPUS_SQL}),
             c AS (SELECT doc_id, text, {lang_counts} FROM corpus),
@@ -1527,6 +1550,16 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        "events_bigrams": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                  FROM events
+            )
+            SELECT event_type AS type_a, nxt AS type_b, count(*) AS n
+              FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
         """,
         "events_retention": f"""
             WITH a AS (

@@ -760,3 +760,52 @@ def retention_cohorts(
         pairs, ["cohort", "offset"], [(None, "count", "n_users")],
         final_mode="tree",
     )
+
+
+def event_type_bigrams(sf_dir: str) -> ray.data.Dataset:
+    """Sequence mining: counts of consecutive per-user event-type pairs
+    — ``(type_a, type_b, n)`` where type_b immediately follows type_a
+    in one user's timeline (ordered by ts, event_id).
+
+    One user-keyed exchange; each partition sorts its complete user
+    timelines once and forms bigrams with two shifted array views
+    (pairs crossing a user boundary masked out), then the bounded
+    (|types|^2) grouped count finishes tree-side.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "e": pa.array(_epoch_us(b)),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def bigrams(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows < 2:
+            return pa.table({"type_a": pa.array([], type=pa.string()),
+                             "type_b": pa.array([], type=pa.string())})
+        tbl = tbl.sort_by([
+            ("user_id", "ascending"), ("e", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        same_user = uid[1:] == uid[:-1]
+        types = tbl["event_type"].combine_chunks()
+        a = types.slice(0, len(uid) - 1)
+        b = types.slice(1)
+        keep = pa.array(same_user)
+        return pa.table({
+            "type_a": a.filter(keep),
+            "type_b": b.filter(keep),
+        })
+
+    pairs = hash_partitioned_groups(ds, ["user_id"], bigrams)
+    return hash_grouped_aggregate(
+        pairs, ["type_a", "type_b"], [(None, "count", "n")], final_mode="tree"
+    )

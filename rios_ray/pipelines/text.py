@@ -619,3 +619,17 @@ def doc_length_token_corr(sf_dir: str) -> ray.data.Dataset:
     )
     return ds.repartition(1).map_batches(merge, batch_format="pyarrow",
                                          batch_size=None)
+
+
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """Model-evaluation rollup: confusion counts of the table's labeled
+    ``lang`` vs the n-gram classifier's ``lang_pred`` — one vectorized
+    scoring stage feeding the combiner-first grouped count (bounded
+    keys: |langs|^2)."""
+    ds = _one_stage(sf_dir, A.lang_id, ["doc_id", "text", "lang"]).select_columns(
+        ["lang", "lang_pred"]
+    )
+    from ..functions.agg import grouped_count
+
+    return grouped_count(ds, ["lang", "lang_pred"], alias="n_docs",
+                         final_mode="tree")

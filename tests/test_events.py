@@ -299,3 +299,22 @@ def test_retention_cohorts_vs_duckdb(ray_session, con):
     base = got[got["offset"] == 0].set_index("cohort")["n_users"]
     rest = got[got["offset"] > 0]
     assert (rest.set_index("cohort")["n_users"] <= base[rest["cohort"]].to_numpy()).all()
+
+
+def test_event_type_bigrams_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.events import event_type_bigrams
+
+    got = event_type_bigrams(SF).to_pandas()
+    want = con.execute("""
+        WITH s AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS nxt
+                     FROM events)
+        SELECT event_type AS type_a, nxt AS type_b, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""").df()
+    g = sorted(map(tuple, got[["type_a", "type_b", "n"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["type_a", "type_b", "n"]].itertuples(index=False)))
+    assert g == w and len(g) > 0
+    # bigram total = events - distinct users (one chain per user)
+    tot = con.execute("SELECT count(*) - count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert got["n"].sum() == tot
