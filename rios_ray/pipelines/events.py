@@ -570,6 +570,7 @@ def funnel_conversions(
     from_type: str = "click",
     to_type: str = "purchase",
     within_us: int = 24 * HOUR_US,
+    force_per_user: bool = False,
 ) -> ray.data.Dataset:
     """Two-step funnel: per user, how many ``from_type`` events were
     followed by a ``to_type`` event (strictly later, same user) within
@@ -622,11 +623,30 @@ def funnel_conversions(
         span = int(e.max()) - emin + 2
         uniq, rank = np.unique(uid, return_inverse=True)
         max_rank = int(rank.max()) if len(rank) else 0
-        if max_rank and max_rank > (2**63 - 1) // span:
-            raise ValueError(
-                "funnel composite key would overflow int64 — repartition "
-                "finer (users/partition x time span too large)"
-            )
+        if force_per_user or (max_rank and max_rank > (2**63 - 1) // span):
+            # overflow-safe fallback (same invariant as the as-of join):
+            # per-user segment loop, only when rank*span would wrap int64
+            order, starts, ends = _user_segments(rank, e)
+            rows = []
+            for s, t in zip(starts, ends):
+                seg = order[s:t]
+                f_e = e[seg[is_from[seg]]]
+                t_e = e[seg[~is_from[seg]]]  # sorted within user
+                if not len(f_e):
+                    continue
+                if len(t_e):
+                    pos = np.searchsorted(t_e, f_e, side="right")
+                    conv_u = (pos < len(t_e)) & (
+                        t_e[np.minimum(pos, len(t_e) - 1)] - f_e <= within_us
+                    )
+                else:
+                    conv_u = np.zeros(len(f_e), dtype=bool)
+                rows.append((int(uid[seg[0]]), len(f_e), int(conv_u.sum())))
+            return pa.table({
+                "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "n_from": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n_converted": pa.array([r[2] for r in rows], type=pa.int64()),
+            })
         key = rank.astype(np.int64) * span + (e - emin)
         t_mask = ~is_from
         t_key = np.sort(key[t_mask])

@@ -318,3 +318,14 @@ def test_event_type_bigrams_vs_duckdb(ray_session, con):
     # bigram total = events - distinct users (one chain per user)
     tot = con.execute("SELECT count(*) - count(DISTINCT user_id) FROM events").fetchone()[0]
     assert got["n"].sum() == tot
+
+
+def test_funnel_fallback_path_matches_fast_path(ray_session):
+    from rios_ray.pipelines.events import HOUR_US, funnel_conversions
+
+    fast = funnel_conversions(SF, within_us=24 * HOUR_US).to_pandas()
+    slow = funnel_conversions(SF, within_us=24 * HOUR_US,
+                              force_per_user=True).to_pandas()
+    f = sorted(map(tuple, fast.itertuples(index=False)))
+    s = sorted(map(tuple, slow.itertuples(index=False)))
+    assert f == s and len(f) > 0
