@@ -303,3 +303,22 @@ def test_cell_focal_stats_vs_numpy(ray_session):
     )
     # only occupied cells are emitted
     assert (dense[cy, cx] > 0).all() and len(got) == (dense > 0).sum()
+
+
+def test_radius_join_tiny_radius_empty(ray_session):
+    from rios_ray.pipelines.spatial_ops import radius_join
+
+    synth.ensure_pages(SF)
+    ds = radius_join(SF, radius=1e-12)
+    assert ds.count() == 0
+    # schema survives on the Dataset (pandas drops columns of an
+    # all-empty dataset — known Ray conversion behavior)
+    assert set(ds.schema().names) == {"qid", "url", "d2"}
+
+
+def test_cell_rollup_single_level(ray_session):
+    from rios_ray.pipelines.spatial_ops import cell_rollup
+    from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+    got = cell_rollup(SF, res=DEFAULT_GRID_RES, levels=1).to_pandas()
+    assert (got["res"] == DEFAULT_GRID_RES).all() and len(got) > 0
