@@ -83,11 +83,13 @@ def run_bench() -> dict:
     # projects to a long-running 100 TB job.
     flagship(sf_dir).count()
 
-    # best-of-2 by default: the first execution of each distinct query
+    # best-of-3 by default: the first execution of each distinct query
     # shape pays one-off worker page-fault/kernel-warm costs on this VM
-    # (multi-second); the second run measures steady state.
+    # (multi-second), and whole-run CPU-steal noise windows swing single
+    # measurements up to 3x — the min of three is the steady-state
+    # figure that projects to a long-running job.
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name: str, fn):
         best = None
