@@ -71,22 +71,22 @@ def dup_corpus(sf_dir: str) -> ray.data.Dataset:
     side files.  Gives the exact-dedup operator real duplicate groups
     to find (the raw table has near-dupes but no exact dupes).
     """
-    docs = read_documents(sf_dir, columns=["doc_id", "text"])
-
-    def shift(b: pa.Table) -> pa.Table:
+    def with_copies(b: pa.Table) -> pa.Table:
         # pyarrow has no modulo kernel — numpy view, zero-copy
         keep = pa.array(b["doc_id"].to_numpy() % 10 == 0)
-        b = b.filter(keep)
-        return b.set_column(
-            b.schema.get_field_index("doc_id"),
+        dup = b.filter(keep)
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"),
             "doc_id",
-            pc.add(b["doc_id"], COPY_OFFSET),
+            pc.add(dup["doc_id"], COPY_OFFSET),
         )
+        return pa.concat_tables([b, dup])
 
-    copies = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
-        shift, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
+    # one read of the (heavy) text column; copies appended per batch
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        with_copies, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
     )
-    return docs.union(copies)
 
 
 # --- exact dedup ----------------------------------------------------------
@@ -123,23 +123,28 @@ def _run_pair_indices(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Global sorted-row index pairs (ia, ib) for every run of equal
     keys (``new`` is True at each run's first row), skipping runs of
-    size < 2 or > ``df_cap``.  The Python loop touches only qualifying
-    runs — rare relative to the bucket count in a dedup workload."""
+    size < 2 or > ``df_cap``.  Runs are batched BY SIZE so the pair
+    template (``triu_indices``) is built once per distinct run size and
+    broadcast over all runs of that size — the loop count is bounded by
+    ``df_cap`` (distinct sizes), not by the bucket count, and every
+    emission is a flat vectorized add."""
     starts = np.flatnonzero(new)
     ends = np.append(starts[1:], len(new))
     sizes = ends - starts
     sel = sizes >= 2
     if df_cap is not None:
         sel &= sizes <= df_cap
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
-    for s, n in zip(starts[sel], sizes[sel]):
-        ia, ib = np.triu_indices(int(n), k=1)
-        out_a.append(s + ia)
-        out_b.append(s + ib)
-    if not out_a:
+    starts_q, sizes_q = starts[sel], sizes[sel]
+    if not len(starts_q):
         z = np.zeros(0, dtype=np.int64)
         return z, z
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for n in np.unique(sizes_q):
+        s = starts_q[sizes_q == n]  # all runs of this exact size
+        ia, ib = np.triu_indices(int(n), k=1)
+        out_a.append((s[:, None] + ia[None, :]).ravel())
+        out_b.append((s[:, None] + ib[None, :]).ravel())
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
@@ -537,20 +542,13 @@ def winnow_pairs(
     design.
     """
     from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
-    from ..text.analysis import winnow_fingerprint_one
+    from ..text.analysis import winnow_fingerprints_flat
 
     def explode_fp(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
         ids = b["doc_id"].to_numpy()
-        fps = [winnow_fingerprint_one(t) for t in texts]
-        n = np.array([len(f) for f in fps], dtype=np.int64)
-        wm = (
-            np.concatenate(fps).view(np.int64)
-            if fps
-            else np.zeros(0, dtype=np.int64)
-        )
+        vals, doc_of = winnow_fingerprints_flat(b["text"])
         return pa.table(
-            {"doc_id": pa.array(np.repeat(ids, n)), "wmin": pa.array(wm)}
+            {"doc_id": pa.array(ids[doc_of]), "wmin": pa.array(vals.view(np.int64))}
         )
 
     exploded = dup_corpus(sf_dir).map_batches(
@@ -567,6 +565,9 @@ def winnow_pairs(
         codes_s, ids_s = codes[order], ids[order]
         new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
         ia, ib = _run_pair_indices(new, df_cap)
+        # raw pairs only: the shared-count partial combine happens in
+        # hash_grouped_aggregate's per-block group_by, which Ray fuses
+        # into this same task — a pre-count here would run twice
         return pa.table({"doc_a": pa.array(ids_s[ia]), "doc_b": pa.array(ids_s[ib])})
 
     pairs = hash_partitioned_groups(exploded, ["wmin"], bucket_pairs)

@@ -199,11 +199,20 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
     qlon = qt["qlon"].to_numpy()
     qlat = qt["qlat"].to_numpy()
 
+    # Materialize the pruned 4-column projection ONCE and feed both the
+    # count pass and the refine pass — the geocode (regex over html) is
+    # the expensive part and must not run twice (round-2 regression).
+    # ~30 B/row in the object store; at cluster scale this is the same
+    # bounded footprint every shuffle of the projection would need.
+    geo = (
+        geocoded_pages(sf_dir, keep_text=False, families=("grid",))
+        .select_columns(["url", "lon", "lat", "cell"])
+        .materialize()
+    )
+
     # pass 1: per-cell counts (small: bounded by grid cells, not rows)
     counts_df = grouped_count(
-        geocoded_pages(sf_dir, keep_text=False,
-                       families=("grid",)).select_columns(["cell"]),
-        ["cell"], alias="n",
+        geo.select_columns(["cell"]), ["cell"], alias="n",
     ).to_pandas()
     cell_counts = dict(zip(counts_df["cell"].astype(int), counts_df["n"].astype(int)))
 

@@ -233,13 +233,95 @@ def winnow_fingerprint_one(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> n
     return np.unique(windows.min(axis=1))
 
 
+def winnow_fingerprints_flat(
+    texts: pa.Array | pa.ChunkedArray, k: int = WINNOW_K, w: int = WINNOW_W
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints of a whole batch, fully vectorized.
+
+    Returns ``(values: uint64, doc_of: int64)`` — the per-document
+    sorted distinct window-min k-gram hashes, concatenated in document
+    order.  Bit-identical to ``winnow_fingerprint_one`` per doc (the
+    polynomial hash is commutative-sum mod 2^64, so flat-buffer
+    evaluation order doesn't change it), but runs as ~k+w passes of 1-D
+    numpy over the batch's single flat utf-8 buffer instead of a Python
+    loop building an (n, k) index matrix per document.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ndocs = len(texts)
+    empty = (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64))
+    if ndocs == 0:
+        return empty
+    if texts.null_count:
+        texts = pc.fill_null(texts, "")
+    odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    off = np.frombuffer(texts.buffers()[1], dtype=odt)[
+        texts.offset : texts.offset + ndocs + 1
+    ].astype(np.int64)
+    base = off[0]
+    starts, ends = off[:-1] - base, off[1:] - base
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)[base : off[-1]]
+    lens = ends - starts
+    if len(data) < k:
+        return empty
+    b = data.astype(np.uint64)
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    m = len(b) - k + 1  # gram hash at every flat byte position (cross-doc
+    g = np.zeros(m, dtype=np.uint64)  # positions exist but are never selected)
+    for j in range(k):
+        g += b[j : j + m] * powers[j]
+    n = np.maximum(lens - k + 1, 0)  # grams per doc
+
+    def _segment_index(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        total = int(counts.sum())
+        seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, counts)
+        return doc_of, within
+
+    # docs with more grams than the window: sliding window-min over w
+    cnt_big = np.where(n > w, n - w + 1, 0)
+    if cnt_big.any():
+        wm = g[: m - w + 1].copy()
+        for j in range(1, w):
+            np.minimum(wm, g[j : j + m - w + 1], out=wm)
+        doc_big, within_big = _segment_index(cnt_big)
+        vals_big = wm[starts[doc_big] + within_big]
+    else:
+        doc_big = np.zeros(0, dtype=np.int64)
+        vals_big = np.zeros(0, dtype=np.uint64)
+    # docs with 1..w grams: single fingerprint = min of all their grams
+    cnt_small = np.where((n >= 1) & (n <= w), n, 0)
+    if cnt_small.any():
+        doc_small_rep, within_small = _segment_index(cnt_small)
+        gs = g[starts[doc_small_rep] + within_small]
+        small_idx = np.flatnonzero(cnt_small)
+        seg = np.concatenate([[0], np.cumsum(cnt_small[small_idx])[:-1]])
+        vals_small = np.minimum.reduceat(gs, seg)
+    else:
+        small_idx = np.zeros(0, dtype=np.int64)
+        vals_small = np.zeros(0, dtype=np.uint64)
+    vals = np.concatenate([vals_big, vals_small])
+    doc_of = np.concatenate([doc_big, small_idx])
+    order = np.lexsort((vals, doc_of))
+    d_s, v_s = doc_of[order], vals[order]
+    if len(d_s) == 0:
+        return empty
+    keep = np.concatenate([[True], (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])])
+    return v_s[keep], d_s[keep]
+
+
 def winnow_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append fingerprint (list<uint64>) + fp_size columns per document."""
-    texts = batch[text_col].to_pylist()
-    fps = [winnow_fingerprint_one(t) for t in texts]
-    return batch.append_column(
-        "fingerprint", pa.array([fp.tolist() for fp in fps], type=pa.list_(pa.uint64()))
-    ).append_column("fp_size", pa.array([len(fp) for fp in fps], type=pa.int64()))
+    vals, doc_of = winnow_fingerprints_flat(batch[text_col])
+    counts = np.bincount(doc_of, minlength=batch.num_rows).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    fp = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(vals, type=pa.uint64())
+    )
+    return batch.append_column("fingerprint", fp).append_column(
+        "fp_size", pa.array(counts, type=pa.int64())
+    )
 
 
 # --- PII scan / redaction -------------------------------------------------

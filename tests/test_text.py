@@ -8,6 +8,7 @@ compared exactly.
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -109,6 +110,37 @@ def test_winnow_properties():
     assert len(A.winnow_fingerprint_one("")) == 0
     assert len(A.winnow_fingerprint_one("abc")) == 0  # < k
     assert len(A.winnow_fingerprint_one("abcdefgh")) == 1  # exactly one gram
+
+
+def test_winnow_flat_matches_per_doc():
+    """The vectorized flat-buffer kernel is bit-identical to the per-doc
+    reference across edge cases (empty, <k, ==k, n<=w, unicode, nulls,
+    sliced/chunked/large_string inputs)."""
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(int(c)) for c in rng.integers(32, 1000, int(rng.integers(0, 60))))
+        for _ in range(200)
+    ]
+    texts += ["", "ab", "abcdefg", "abcdefgh", "abcdefghi", "x" * 100,
+              "hello world " * 50]
+    arr = pa.array(texts, type=pa.string())
+    for variant in (
+        arr,
+        arr.slice(3, 150),
+        pa.chunked_array([arr.slice(0, 80), arr.slice(80)]),
+        arr.cast(pa.large_string()),
+    ):
+        flat = variant.combine_chunks() if isinstance(variant, pa.ChunkedArray) else variant
+        vals, doc_of = A.winnow_fingerprints_flat(variant)
+        for i in range(len(flat)):
+            assert np.array_equal(
+                A.winnow_fingerprint_one(flat[i].as_py()), vals[doc_of == i]
+            )
+    # nulls behave as empty docs
+    vals, doc_of = A.winnow_fingerprints_flat(pa.array(["abcdefghij", None]))
+    assert not (doc_of == 1).any() and len(vals) == len(
+        A.winnow_fingerprint_one("abcdefghij")
+    )
 
 
 def test_top_token_pages_vs_duckdb(ray_session, con):
