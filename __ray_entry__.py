@@ -747,13 +747,23 @@ def _q_knn_embeddings(sf_dir: str):
 def _q_knn_embeddings_ivf(sf_dir: str):
     from rios_ray.pipelines import embeddings as E
 
-    return E.knn_embeddings_ivf(sf_dir, k=10)
+    # nprobe == nlist: every IVF cell is probed, so the result equals
+    # exact brute force and the whole path (centroid train/broadcast,
+    # per-batch cell assignment + masked matmul, shared merge) is
+    # SQL-oracle-gated.  The approximate configuration (nprobe=4) keeps
+    # its recall gate in tests/test_embeddings.py.
+    return E.knn_embeddings_ivf(sf_dir, k=10, nlist=16, nprobe=16)
 
 
 def _q_knn_embeddings_pq(sf_dir: str):
     from rios_ray.pipelines import embeddings as E
 
-    return E.knn_embeddings_pq(sf_dir, k=10)
+    # shortlist >= batch_size: every row of a batch survives the ADC
+    # shortlist, and the exact-cosine rerank makes the output equal
+    # brute force — the codebook/encode/LUT-scoring plumbing is still
+    # fully exercised, now SQL-gated.  The approximate configuration
+    # (shortlist=50) keeps its recall gate in tests/test_embeddings.py.
+    return E.knn_embeddings_pq(sf_dir, k=10, shortlist=E.BATCH_SIZE)
 
 
 def _q_emb_neardup(sf_dir: str):
@@ -1367,6 +1377,12 @@ def _simhash_sidecar_path() -> str:
     return ensure_simhash_sidecar(SF001)
 
 
+def _pixels_sidecar_path() -> str:
+    from rios_ray.pipelines.multimodal import ensure_pixels_sidecar
+
+    return ensure_pixels_sidecar(SF001)
+
+
 def _embeddings_oracle_sql() -> dict[str, str]:
     """Embedding oracles over the ``embeddings`` view.  kNN output is
     rank-only: DuckDB's float32 cosine differs from numpy float64 at
@@ -1381,8 +1397,7 @@ def _embeddings_oracle_sql() -> dict[str, str]:
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
     """
-    return {
-        "knn_embeddings": f"""
+    knn_exact = f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
             d AS (SELECT q.qid, e.vec_id,
@@ -1391,7 +1406,15 @@ def _embeddings_oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id,
                    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
               FROM d QUALIFY rank <= 10
-        """,
+        """
+    return {
+        "knn_embeddings": knn_exact,
+        # the driver runs IVF with nprobe == nlist and PQ with
+        # shortlist >= batch rows (see _q_knn_embeddings_ivf/_pq):
+        # both configurations provably return the exact brute-force
+        # top-k, so the same oracle gates them
+        "knn_embeddings_ivf": knn_exact,
+        "knn_embeddings_pq": knn_exact,
         "emb_neardup": neardup,
         "emb_neardup_lsh": neardup,
         # transitive closure over the exact-cosine pairs: the oracle for
@@ -1900,6 +1923,31 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY cell ORDER BY url) AS rn
                   FROM (SELECT url, {_cell_sql()} AS cell FROM ({_pages_sql()})))
              WHERE rn <= 5
+        """,
+        # mean/std of the decoded+resized pixels, over a deterministic
+        # scalar-path pixel sidecar (see ensure_pixels_sidecar) — gates
+        # the decode->resize->feature actor-pool chain end to end.
+        # Pixels are uint8, so avg/var are exact integer sums in float64
+        # and the float compare is bitwise (both engines do one division,
+        # one subtract, one sqrt in the same order).
+        "media_image_features": f"""
+            WITH p AS (SELECT url, px FROM read_parquet('{_pixels_sidecar_path()}')),
+            ch AS (SELECT url,
+                     list_filter(px, (x, i) -> (i - 1) % 3 = 0) AS r,
+                     list_filter(px, (x, i) -> (i - 1) % 3 = 1) AS g,
+                     list_filter(px, (x, i) -> (i - 1) % 3 = 2) AS b
+                   FROM p)
+            SELECT url,
+              list_aggregate(r, 'avg') AS mean_r,
+              list_aggregate(g, 'avg') AS mean_g,
+              list_aggregate(b, 'avg') AS mean_b,
+              sqrt(greatest(list_aggregate(list_transform(r, x -> x * x), 'avg')
+                            - list_aggregate(r, 'avg') * list_aggregate(r, 'avg'), 0)) AS std_r,
+              sqrt(greatest(list_aggregate(list_transform(g, x -> x * x), 'avg')
+                            - list_aggregate(g, 'avg') * list_aggregate(g, 'avg'), 0)) AS std_g,
+              sqrt(greatest(list_aggregate(list_transform(b, x -> x * x), 'avg')
+                            - list_aggregate(b, 'avg') * list_aggregate(b, 'avg'), 0)) AS std_b
+              FROM ch
         """,
         "media_frame_dedup": f"""
             WITH m AS (

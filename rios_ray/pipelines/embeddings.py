@@ -152,21 +152,36 @@ class _BatchTopK:
         )
 
 
-def _final_topk(k: int):
-    def fn(g: pa.Table) -> pa.Table:
-        qid = g["qid"][0].as_py()
-        ids = g["vec_id"].to_numpy()
-        cos = g["cos"].to_numpy()
-        order = np.lexsort((ids, -cos))[:k]
+def _merge_topk(cands: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Final top-k merge shared by all ANN paths: the candidate volume
+    is bounded by k x n_blocks x n_queries, so gather it into ONE block
+    and rank every query in a single lexsort — the ``repartition(1)`` +
+    vectorized-merge shape of ``pages.py::knn_pages`` (BASELINE.md
+    lesson 4), replacing the per-group sort barrier
+    ``groupby(qid).map_groups`` paid in rounds 1-2."""
+
+    def merge(t: pa.Table) -> pa.Table:
+        qid = t["qid"].to_numpy()
+        ids = t["vec_id"].to_numpy()
+        cos = t["cos"].to_numpy()
+        order = np.lexsort((ids, -cos, qid))  # per qid: cos desc, id asc
+        q_s, id_s = qid[order], ids[order]
+        new = np.concatenate([[True], q_s[1:] != q_s[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(q_s)))
+        rank = np.arange(len(q_s), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = rank < k
         return pa.table(
             {
-                "qid": pa.array(np.full(len(order), qid, dtype=np.int64)),
-                "vec_id": pa.array(ids[order]),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "qid": pa.array(q_s[keep]),
+                "vec_id": pa.array(id_s[keep]),
+                "rank": pa.array(rank[keep] + 1),
             }
         )
 
-    return fn
+    return cands.repartition(1).map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
 
 
 def knn_embeddings(sf_dir: str, k: int = DEFAULT_K) -> ray.data.Dataset:
@@ -184,7 +199,7 @@ def knn_embeddings(sf_dir: str, k: int = DEFAULT_K) -> ray.data.Dataset:
         batch_size=BATCH_SIZE,
         concurrency=default_pool(),
     )
-    return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _merge_topk(cands, k)
 
 
 # --- kNN: IVF scale path --------------------------------------------------
@@ -266,7 +281,7 @@ def knn_embeddings_ivf(
         batch_size=BATCH_SIZE,
         concurrency=default_pool(),
     )
-    return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _merge_topk(cands, k)
 
 
 # --- near-dup: exact baseline --------------------------------------------
@@ -602,4 +617,4 @@ def knn_embeddings_pq(
         batch_size=BATCH_SIZE,
         concurrency=default_pool(),
     )
-    return cands.groupby("qid").map_groups(_final_topk(k), batch_format="pyarrow")
+    return _merge_topk(cands, k)

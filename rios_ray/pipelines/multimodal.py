@@ -177,3 +177,51 @@ def frame_dedup(sf_dir: str) -> ray.data.Dataset:
         })
 
     return hash_partitioned_groups(ds, ["frame_md5"], summarize)
+
+
+def ensure_pixels_sidecar(sf_dir: str, out_h: int = 8, out_w: int = 8) -> str:
+    """Deterministic (url, px: list<int64>) parquet of decoded+resized
+    pixels for the sf dir — the independent input the DuckDB oracle
+    reads to gate ``image_features``'s mean/std math end-to-end.
+
+    No Ray involved, and deliberately the SCALAR per-image path
+    (``fake_decode`` + ``resize_nearest`` one row at a time, scalar
+    meta derivation) so the sidecar independently cross-checks the
+    batched/vectorized stage kernels, not just the SQL aggregation —
+    the ``ensure_simhash_sidecar`` pattern (pipelines/dedup.py).
+    Cached under /tmp/graft_synth.  Pixels are uint8, so the oracle's
+    avg/var over them is exact integer arithmetic in float64 and the
+    mean/std comparison is bitwise.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.multimodal import fake_decode, resize_nearest
+    from ..synth import PAGES_ROOT, ensure_pages
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PAGES_ROOT, name, f"pixels_{out_h}x{out_w}.parquet")
+    if not os.path.exists(out):
+        pages_dir = ensure_pages(sf_dir)
+        tbl = pq.read_table(pages_dir, columns=["url", "html"])
+        urls = tbl["url"].to_pylist()
+        payloads = [
+            b.as_py() if b is not None else b""
+            for b in tbl["html"].combine_chunks()
+        ]
+        hs = fnv1a64(urls)
+        heights = (8 + (hs % np.uint64(9))).astype(np.int64)
+        widths = (8 + ((hs >> np.uint64(8)) % np.uint64(9))).astype(np.int64)
+        px = np.empty((len(urls), out_h * out_w * 3), dtype=np.int64)
+        for i, (p, h, w) in enumerate(zip(payloads, heights, widths)):
+            img = fake_decode(p, int(h), int(w))
+            px[i] = resize_nearest(img, out_h, out_w).ravel()
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(px.ravel()), out_h * out_w * 3
+        ).cast(pa.list_(pa.int64()))
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"url": tbl["url"], "px": arr}), tmp)
+        os.replace(tmp, out)
+    return out
