@@ -938,10 +938,15 @@ def _winnow_sql() -> str:
 def _winnow_pairs_sql(min_shared: int = 40) -> str:
     """Shared-winnow-fingerprint pairs over the duplicate-injected
     corpus: same rolling-hash recomputation as ``_winnow_sql``, then
-    per-doc DISTINCT window-min sets self-joined on the hash."""
+    per-doc DISTINCT window-min sets self-joined on the hash.  Mirrors
+    the engine's document-frequency cap exactly (fingerprints present
+    in more than ``winnow_df_cap`` documents are dropped whole — the
+    HAVING filter below), so the capped default stays hash-gated."""
     import numpy as np
 
-    from rios_ray.pipelines.dedup import DUP_CORPUS_SQL
+    from rios_ray.pipelines.dedup import DUP_CORPUS_SQL, winnow_df_cap
+
+    df_cap = winnow_df_cap(SF001)
 
     k, w = 8, 4
     prime = np.uint64(1099511628211)
@@ -968,9 +973,12 @@ def _winnow_pairs_sql(min_shared: int = 40) -> str:
                    FROM wm WHERE n > {w} AND i <= n - {w}
                  UNION
                  SELECT doc_id, min(hh) AS wmin
-                   FROM h WHERE n <= {w} GROUP BY doc_id)
+                   FROM h WHERE n <= {w} GROUP BY doc_id),
+        ok AS (SELECT wmin FROM sets GROUP BY wmin
+               HAVING count(*) <= {df_cap})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
           FROM sets a JOIN sets b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         WHERE a.wmin IN (SELECT wmin FROM ok)
          GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
     """

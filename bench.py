@@ -156,7 +156,7 @@ def run_bench() -> dict:
         # fingerprints emit O(F^2) pairs, and the fixture's bucket
         # sizes grow linearly with sf — uncapped is oracle-exact at
         # sf0.01 but quadratic at bench scale (21.7 s -> capped ~5 s)
-        return winnow_pairs(sf_dir, min_shared=40, df_cap=256).count()
+        return winnow_pairs(sf_dir, min_shared=40).count()
 
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens

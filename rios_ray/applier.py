@@ -1110,18 +1110,37 @@ def _out_options(name: str, controls: ApplierControls):
     return nullval, thematic
 
 
-def _stats_dict(merged_accs: dict) -> dict:
+def _stats_dict(merged_accs: dict, include_basic: bool = True,
+                include_hist: bool = False) -> dict | None:
+    """Assemble the sidecar stats dict, honoring the two omit flags
+    INDEPENDENTLY (reference skips basic stats and histogram per-flag,
+    not only when both are set): ``include_basic`` gates the
+    min/max/mean/stddev/count block, ``include_hist`` gates the
+    histogram-derived median/mode block (calcstats.py:954-970 rules,
+    same format the CLI calcstats writes)."""
     stats = {}
     for b, acc in sorted(merged_accs.items()):
-        mn, mx, mean, std = acc.final_stats()
-        stats[str(b)] = {
-            "min": None if mn is None else float(mn),
-            "max": None if mx is None else float(mx),
-            "mean": mean,
-            "stddev": std,
-            "count": acc.count,
-        }
-    return stats
+        entry = {}
+        if include_basic:
+            mn, mx, mean, std = acc.final_stats()
+            entry.update({
+                "min": None if mn is None else float(mn),
+                "max": None if mx is None else float(mx),
+                "mean": mean,
+                "stddev": std,
+                "count": acc.count,
+            })
+        if include_hist:
+            hmin, hmax, counts = acc.full_hist()
+            if hmin is not None and counts is not None and counts.sum() > 0:
+                half = counts.sum() / 2.0
+                entry["median"] = float(
+                    hmin + int(np.searchsorted(np.cumsum(counts), half))
+                )
+                entry["mode"] = float(hmin + int(np.argmax(counts)))
+        if entry:
+            stats[str(b)] = entry
+    return stats or None
 
 
 def make_canonical_fn(dtype):
@@ -1224,7 +1243,11 @@ def _finalize_distributed(name: str, path: str, scratch: str, wg: PixelGrid,
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).to_pandas()
-        stats = _stats_dict(merge_partials(pdf, nullval, thematic, np_dtype))
+        stats = _stats_dict(
+            merge_partials(pdf, nullval, thematic, np_dtype),
+            include_basic=not omit_basic,
+            include_hist=(np_dtype.kind in "iu") and not omit_hist,
+        )
 
     # overview pyramids at close (reference imagewriter BuildOverviews;
     # one streamed NEAREST-decimation pass per level, written alongside
@@ -1298,10 +1321,15 @@ def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
     nullval, thematic = _out_options(name, controls)
 
     stats = None
-    if controls.getOptionForImagename("calc_stats", name):
+    omit_basic = controls.getOptionForImagename("omit_basic_stats", name)
+    omit_hist = controls.getOptionForImagename("omit_histogram", name)
+    if controls.getOptionForImagename("calc_stats", name) and not (
+        omit_basic and omit_hist
+    ):
         from .stats import StatsAccumulator
 
         np_dtype = np.dtype(dtype)
+        include_hist = (np_dtype.kind in "iu") and not omit_hist
         acc_by_band: dict[int, StatsAccumulator] = {}
         bands_np = t["band"].to_numpy(zero_copy_only=False)
         for i in range(t.num_rows):
@@ -1310,9 +1338,10 @@ def _finalize_driver(name: str, path: str, scratch: str, wg: PixelGrid,
                 int(bands_np[i]), StatsAccumulator(nullval, thematic, np_dtype)
             )
             acc.accum_stats(arr)
-            if np_dtype.kind in "iu":
+            if include_hist:
                 acc.accum_hist(arr)
-        stats = _stats_dict(acc_by_band)
+        stats = _stats_dict(acc_by_band, include_basic=not omit_basic,
+                            include_hist=include_hist)
 
     # pre-close hooks: user sees (and may mutate) the assembled tile
     # table + stats before anything is written (reference

@@ -21,11 +21,25 @@ needed at bench scale).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pyarrow as pa
 
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+class BloomFilter(NamedTuple):
+    """Bitmap + the hash count it was built with (they must travel
+    together: probing with a different ``k`` than inserted produces
+    false NEGATIVES, which silently drop join matches)."""
+
+    words: np.ndarray  # uint64 bitmap words
+    k: int
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        return bloom_contains(self.words, keys, self.k)
 
 
 def _mix(v: np.ndarray, mult: np.uint64) -> np.ndarray:
@@ -68,12 +82,17 @@ def bloom_contains(words: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
 
 
 def bloom_from_dataset(ds, key_col: str, m_bits: int = 1 << 23,
-                       k: int = 7) -> np.ndarray:
+                       k: int = 7) -> "BloomFilter":
     """One streaming pass over ``ds[key_col]`` -> merged bitmap words.
 
     Each input block folds its keys into a local bitmap (one blob row);
     a single reduce task ORs the blobs.  The result is driver-side and
     small (m_bits/8 bytes) — ``ray.put`` it once for probing stages.
+
+    Returns a :class:`BloomFilter` carrying BOTH the bitmap and the
+    ``k`` it was built with: probing with a different k than inserted
+    yields FALSE NEGATIVES (dropped matches), so the hash count must
+    travel with the bits rather than be re-stated at the probe site.
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
@@ -99,4 +118,6 @@ def bloom_from_dataset(ds, key_col: str, m_bits: int = 1 << 23,
     merged = partials.repartition(1).map_batches(
         merge, batch_format="pyarrow", batch_size=None
     ).take_all()
-    return np.frombuffer(merged[0]["bits"], dtype=np.uint64).copy()
+    return BloomFilter(
+        np.frombuffer(merged[0]["bits"], dtype=np.uint64).copy(), k
+    )

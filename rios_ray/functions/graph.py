@@ -18,15 +18,15 @@ exchanges expressed with the engine's existing primitives:
      (``hash_partitioned_groups`` with a vectorized reduceat kernel),
      which also reports whether any label changed this round.
 
-Rounds needed = component diameter.  Near-duplicate clusters are
-shallow (a dup cluster's pair graph is dense), so this converges in a
-handful of rounds; the label table is materialized per round (one row
-per node *appearing in a pair* — small relative to the corpus) so the
-lazy plan does not re-execute from scratch each iteration.  For
-adversarially deep graphs (long chains), swap the per-round message
-pass for hash-to-min (emit the min over the full neighborhood to every
-member) to converge in O(log diameter) — same exchange shape, bigger
-messages.
+Each round also runs one pointer-halving compression pass (attach each
+node's label's label, take the min — another unique-keyed exchange), so
+convergence is O(log diameter), not O(diameter): near-duplicate
+clusters are shallow and finish in a couple of rounds, while
+adversarially long chains (A~B~C~...) still converge well inside
+``max_iters`` instead of aborting the job.  The label table is
+materialized per round (one row per node *appearing in a pair* — small
+relative to the corpus) so the lazy plan does not re-execute from
+scratch each iteration.
 """
 
 from __future__ import annotations
@@ -73,6 +73,17 @@ def _local_components(tbl: pa.Table, max_iters: int) -> pa.Table:
     for _ in range(max_iters):
         new = labels.copy()
         np.minimum.at(new, dst_idx, labels[src_idx])
+        # pointer doubling: follow label -> label-of-label to a fixed
+        # point (labels are always ids of nodes in this table).  A
+        # length-L chain collapses in one propagation round + O(log L)
+        # cheap gathers, so convergence is O(log diameter), not
+        # O(diameter) — long near-duplicate chains (A~B~C~...) finish
+        # instead of exhausting max_iters.
+        while True:
+            nn = new[np.searchsorted(nodes, new)]
+            if np.array_equal(nn, new):
+                break
+            new = nn
         if np.array_equal(new, labels):
             return pa.table({"node": pa.array(nodes), "cluster_id": pa.array(labels)})
         labels = new
@@ -192,6 +203,41 @@ def connected_components(
         )
         labels = hash_partitioned_groups(
             u, ["node"], _min_label_merge, num_partitions
+        ).materialize()
+
+        # pointer-halving compression: attach each node's label's label
+        # (labels are always ids of nodes present in the table) and take
+        # the min — one extra unique-keyed exchange per round turns
+        # O(diameter) convergence into O(log diameter), so long
+        # near-duplicate chains finish instead of exhausting max_iters
+        comp = partitioned_lookup_join(
+            labels,
+            labels,
+            "label",
+            "node",
+            [("node", pa.int64()), ("label", pa.int64()), ("changed", pa.int8())],
+            [("label", pa.int64(), "label2")],
+            num_partitions,
+        )
+
+        def compress(b: pa.Table) -> pa.Table:
+            lab = b["label"].to_numpy(zero_copy_only=False)
+            lab2 = b["label2"].to_numpy(zero_copy_only=False)
+            new = np.minimum(lab, lab2)
+            changed = np.maximum(
+                b["changed"].to_numpy(zero_copy_only=False),
+                (new < lab).astype(np.int8),
+            )
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "label": pa.array(new),
+                    "changed": pa.array(changed),
+                }
+            )
+
+        labels = comp.map_batches(
+            compress, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
         # tiny scalar: did any label move this round?
         if labels.sum("changed") == 0:

@@ -219,9 +219,25 @@ def auto_lookup_join(
             num_partitions,
         )
 
-    tbl = pa.concat_tables(
-        t for t in ray.get(right_mat.to_arrow_refs()) if t.num_rows
-    )
+    blocks = [t for t in ray.get(right_mat.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        # empty right side (a filtered dim matching nothing): inner-join
+        # result is empty with the left+attach schema — emit it directly
+        # rather than concat-ing zero tables
+        names = [n for n, _ in left_cols] + [o for _, _, o in attach_cols]
+        types = [t for _, t in left_cols] + [t for _, t, _ in attach_cols]
+        empty = pa.table(
+            {n: pa.array([], type=t) for n, t in zip(names, types)}
+        )
+
+        def drop_all(b: pa.Table) -> pa.Table:
+            return empty
+
+        return left.map_batches(
+            drop_all, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65536,
+        )
+    tbl = pa.concat_tables(blocks)
     keys = tbl[right_key].to_numpy(zero_copy_only=False)
     order = np.argsort(keys)
     sorted_keys = keys[order]
@@ -240,6 +256,7 @@ def auto_lookup_join(
             pos_c = np.minimum(pos, len(sk) - 1)
             hit = sk[pos_c] == lk
         else:
+            pos_c = np.zeros(len(lk), dtype=np.int64)
             hit = np.zeros(len(lk), dtype=bool)
         b = b.filter(pa.array(hit))
         out = {n: (b[n].cast(t) if b[n].type != t else b[n]) for n, t in left_cols}

@@ -519,8 +519,26 @@ def minhash_clusters(
     return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winnow_df_cap(sf_dir: str) -> int:
+    """Default winnow document-frequency cap, tied to corpus size: a
+    fingerprint present in more than 10% of documents is boilerplate,
+    not copied-span evidence, and its O(df^2) pair fan-out is dropped
+    whole (never truncated — a DROPPED bucket is SQL-expressible, a
+    truncated one is not).  Floor of 64 keeps tiny test corpora from
+    capping away genuine duplicate groups.  Corpus size comes from
+    parquet metadata (no scan)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.documents import documents_path
+
+    n_docs = pq.ParquetFile(documents_path(sf_dir)).metadata.num_rows
+    n_corpus = n_docs + n_docs // 10  # + injected duplicate copies
+    return max(64, n_corpus // 10)
+
+
 def winnow_pairs(
-    sf_dir: str, min_shared: int = 40, df_cap: int = 100_000
+    sf_dir: str, min_shared: int = 40, df_cap: int | None = None,
+    metrics=None,
 ) -> ray.data.Dataset:
     """MOSS-style shared-span detection: (doc_a, doc_b, shared) for
     document pairs sharing at least ``min_shared`` winnowing
@@ -534,15 +552,22 @@ def winnow_pairs(
     plagiarism detector.  Same exchange shape as the gram dedup:
     explode per-doc fingerprint sets (already distinct per doc) ->
     fingerprint-keyed exchange -> vectorized per-bucket pair emission
-    -> combiner-first pair counts -> threshold.  ``df_cap`` bounds the
-    per-fingerprint fan-out at scale (a fingerprint shared by F docs
-    emits O(F^2) pairs); the default is effectively uncapped so the
-    result matches the exact SQL oracle at test scale — cap it on real
-    corpora and the hot buckets (boilerplate spans) drop out first, by
-    design.
+    -> combiner-first pair counts -> threshold.
+
+    ``df_cap`` bounds the per-fingerprint fan-out (a fingerprint shared
+    by F docs emits O(F^2) pairs): buckets PAST the cap are dropped
+    whole — deterministic and mirrored exactly by the SQL oracle's
+    HAVING-df filter, so the capped default stays oracle-gated.  The
+    default is :func:`winnow_df_cap` (10% of the corpus).  Truncation
+    is never silent: pass ``metrics`` (a ``runtime.MetricsCollector``
+    actor handle) and every dropped bucket reports its row count under
+    stage ``winnow_pairs`` / partition ``df_cap_dropped``.
     """
     from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
     from ..text.analysis import winnow_fingerprints_flat
+
+    if df_cap is None:
+        df_cap = winnow_df_cap(sf_dir)
 
     def explode_fp(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy()
@@ -564,6 +589,15 @@ def winnow_pairs(
         order = np.lexsort((ids, codes))
         codes_s, ids_s = codes[order], ids[order]
         new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        if metrics is not None:
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, len(new)))
+            dropped = sizes[sizes > df_cap]
+            if len(dropped):
+                metrics.add.remote(
+                    "winnow_pairs", "df_cap_dropped",
+                    int(dropped.sum()), 0,
+                )
         ia, ib = _run_pair_indices(new, df_cap)
         # raw pairs only: the shared-count partial combine happens in
         # hash_grouped_aggregate's per-block group_by, which Ray fuses

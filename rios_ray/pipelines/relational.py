@@ -491,15 +491,16 @@ def q4_order_priority(
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     if use_bloom:
-        from ..functions.bloom import bloom_contains, bloom_from_dataset
+        from ..functions.bloom import bloom_from_dataset
 
-        words = bloom_from_dataset(li, "l_orderkey")
-        w_ref = ray.put(words)
+        # the filter carries its own k — probing with a different k
+        # than inserted would drop matching orders (false negatives)
+        bf_ref = ray.put(bloom_from_dataset(li, "l_orderkey"))
 
         def prefilter(b: pa.Table) -> pa.Table:
-            w = ray.get(w_ref)
+            bf = ray.get(bf_ref)
             keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(bloom_contains(w, keys, 7)))
+            return b.filter(pa.array(bf.contains(keys)))
 
         orders = orders.map_batches(
             prefilter, batch_format="pyarrow", zero_copy_batch=True,

@@ -90,6 +90,14 @@ class StatsAccumulator:
 
     def accum_stats(self, arr: np.ndarray) -> None:
         values = self._valid(arr)
+        if np.iscomplexobj(values):
+            # complex pixel types: stats on the real component — the
+            # reference's accumulator casts with ``astype(float64)``
+            # (/root/reference/rios/calcstats.py:666-667, drops the
+            # imaginary part), and its GDAL fallback path likewise
+            # computes complex-band statistics from the real part only.
+            # Applied uniformly to min/max so all four stats agree.
+            values = values.real
         if len(values):
             self.sum += float(values.astype(np.float64).sum())
             self.ssq += float((values.astype(np.float64) ** 2).sum())
@@ -106,6 +114,10 @@ class StatsAccumulator:
         pass) — callers bin floats via HistogramParams instead."""
         if self.dtype is None:
             self.dtype = arr.dtype
+        if np.iscomplexobj(arr):
+            # no histogram for complex pixel types (no integer domain);
+            # the reference never single-pass-histograms them either
+            return
         if arr.dtype in _UNSIGNED:
             a = arr.astype(np.int64) if arr.dtype == np.uint64 else arr
             counts = np.bincount(a.ravel())

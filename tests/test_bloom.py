@@ -35,7 +35,11 @@ def test_distributed_build_matches_local(ray_session):
     got = bloom_from_dataset(ds, "k", m_bits=1 << 20, k=K)
     want = np.zeros((1 << 20) // 64, dtype=np.uint64)
     bloom_insert(want, keys, K)
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got.words, want)
+    # the built k travels with the bitmap (probing with a different k
+    # than inserted would produce false negatives)
+    assert got.k == K
+    assert got.contains(keys).all()
 
 
 def test_bloom_join_identical_result(ray_session):

@@ -308,3 +308,39 @@ def test_vector_guards_and_recorded_setters():
     controls.setSinglePassBasicStats(False)
     controls.setSinglePassHistogram(None)
     assert controls.job_name == "nightly"
+
+
+def test_omit_basic_stats_alone(ramp, tmp_path):
+    """setOmitBasicStats(True) alone: basic stats skipped but the
+    histogram products (median/mode) still computed and written —
+    the flags are honored independently, per-flag like the reference."""
+    controls = ApplierControls()
+    controls.setOmitPyramids(True)
+    controls.setOmitBasicStats(True)
+    out = str(tmp_path / "o_nobasic.parquet")
+    apply(_make_ident(), {"img": ramp["ti"]}, {"out": out}, controls=controls,
+          out_dir=str(tmp_path))
+    stats = read_stats_sidecar(out)
+    assert stats is not None and "0" in stats
+    assert "mean" not in stats["0"] and "min" not in stats["0"]
+    arr = ramp["arr"]
+    counts = np.bincount(arr.ravel())
+    want_median = float(np.searchsorted(np.cumsum(counts), arr.size / 2.0))
+    assert stats["0"]["median"] == want_median
+    assert stats["0"]["mode"] == float(np.argmax(counts))
+
+
+def test_omit_histogram_alone(ramp, tmp_path):
+    """setOmitHistogram(True) alone: basic stats written, no
+    histogram-derived entries."""
+    controls = ApplierControls()
+    controls.setOmitPyramids(True)
+    controls.setOmitHistogram(True)
+    out = str(tmp_path / "o_nohist.parquet")
+    apply(_make_ident(), {"img": ramp["ti"]}, {"out": out}, controls=controls,
+          out_dir=str(tmp_path))
+    stats = read_stats_sidecar(out)
+    arr = ramp["arr"].astype(np.float64)
+    assert stats["0"]["mean"] == pytest.approx(arr.mean(), rel=1e-12)
+    assert stats["0"]["count"] == arr.size
+    assert "median" not in stats["0"] and "mode" not in stats["0"]

@@ -271,9 +271,9 @@ def test_winnow_pairs_properties(ray_session):
     from rios_ray.text.analysis import winnow_fingerprint_one
 
     sf = "/root/testdata/sf0.001"
-    got = winnow_pairs(sf, min_shared=5).to_pandas()
+    # uncapped: exact copies share their FULL fingerprint set
+    got = winnow_pairs(sf, min_shared=5, df_cap=10**9).to_pandas()
     assert (got["doc_a"] < got["doc_b"]).all()
-    # exact copies share their full fingerprint set
     import pyarrow.parquet as pq
 
     docs = pq.read_table(f"{sf}/documents.parquet",
@@ -287,3 +287,72 @@ def test_winnow_pairs_properties(ray_session):
             key = (r["doc_id"], r["doc_id"] + COPY_OFFSET)
             assert key in pairs, key
             assert by_pair[key] == len(fp)
+    # capped default: shared counts only shrink (hot boilerplate
+    # fingerprints dropped whole), never grow, and stay a < b
+    capped = winnow_pairs(sf, min_shared=5).to_pandas()
+    assert (capped["doc_a"] < capped["doc_b"]).all()
+    capped_by_pair = dict(
+        zip(zip(capped["doc_a"], capped["doc_b"]), capped["shared"])
+    )
+    for key, shared in capped_by_pair.items():
+        assert key in by_pair and shared <= by_pair[key], key
+
+
+def test_connected_components_long_chain(ray_session):
+    """A 300-node chain (diameter >> the old 64-round budget) converges
+    on both paths thanks to pointer-doubling / per-round compression."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.graph import connected_components
+
+    n = 300
+    edges = pa.table({
+        "doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "doc_b": pa.array(np.arange(1, n, dtype=np.int64)),
+    })
+    for cap in (5_000_000, 0):
+        got = (
+            connected_components(ray.data.from_arrow(edges),
+                                 num_partitions=4, local_cap=cap)
+            .to_pandas()
+        )
+        assert len(got) == n and (got["cluster_id"] == 0).all(), f"cap={cap}"
+
+
+def test_winnow_df_cap_drop_metric(ray_session, tmp_path, monkeypatch):
+    """A synthetic hot bucket (one fingerprint in > df_cap docs) is
+    dropped whole AND reported through MetricsCollector — truncation is
+    never silent (stage winnow_pairs / partition df_cap_dropped)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    from rios_ray.pipelines import dedup as D
+    from rios_ray.runtime import MetricsCollector
+
+    # corpus where every doc shares one hot 8-gram span ("HOTSPAN0!")
+    # plus a unique tail: the hot fingerprint's bucket has df = n_docs
+    n = 40
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(
+            ["HOTSPAN0!" + f"unique tail {i:03d} " * 3 for i in range(n)]
+        ),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["t"] * n),
+        "n_chars": pa.array([60] * n, type=pa.int64()),
+    })
+    sf = str(tmp_path / "sfhot")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    pq_mod.write_table(docs, os.path.join(sf, "documents.parquet"))
+
+    collector = MetricsCollector.remote()  # already @ray.remote(num_cpus=0)
+    out = D.winnow_pairs(sf, min_shared=1, df_cap=8, metrics=collector)
+    out.count()  # execute
+    summary = ray.get(collector.summary.remote())
+    key = "winnow_pairs/df_cap_dropped"
+    assert key in summary and summary[key]["rows"] > 8, summary

@@ -2,6 +2,7 @@
 row-group-aligned multi-input, weighted column stats vs DuckDB."""
 
 import duckdb
+import os
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -104,3 +105,34 @@ def test_column_stats_weighted_vs_duckdb(ray_session):
     ).fetchone()
     assert uw["mean"] == pytest.approx(want2[0], rel=1e-12)
     assert uw["stddev"] == pytest.approx(want2[1], rel=1e-9)
+
+
+def test_string_rat_column_derive(ray_session, tmp_path):
+    """String-typed RAT columns (the reference's numpy-2 StringDType
+    path, /root/reference/rios/ratapplier.py:430-444): a user function
+    can READ a string column and WRITE a derived string column, and
+    both survive the chunked round trip exactly."""
+    def user_fn(inputs, outputs):
+        outputs.doc_id = inputs.doc_id
+        outputs.lang_in = inputs.lang
+        # derived string column from numpy unicode ops
+        outputs.tag = np.char.add(
+            np.char.upper(inputs.lang.astype(str)),
+            np.where(inputs.n_chars > 500, "_long", "_short"),
+        )
+
+    out = str(tmp_path / "out_rat_str")
+    ds = R.rat_apply(user_fn, DOCS, out_path=out, block_len=100)
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT doc_id, lang AS lang_in,
+               upper(lang) || CASE WHEN n_chars > 500 THEN '_long' ELSE '_short' END AS tag
+          FROM read_parquet('{DOCS}') ORDER BY doc_id""").df()
+    assert got["lang_in"].tolist() == want["lang_in"].tolist()
+    assert got["tag"].tolist() == want["tag"].tolist()
+    # arrow schema of the written parquet keeps the string type
+    import pyarrow.parquet as pq_mod
+    sch = pq_mod.read_schema(os.listdir(out) and [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ][0])
+    assert pa.types.is_string(sch.field("tag").type) or pa.types.is_large_string(sch.field("tag").type)

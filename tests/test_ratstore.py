@@ -91,3 +91,19 @@ def test_apply_store_resume_skips_done_chunks(tmp_path, rat_table, ray_session):
         got["scaled"], rat_table["value"].to_numpy() + 1
     )
     assert len(after - before) <= 2
+
+
+def test_string_column_through_store(tmp_path, rat_table, ray_session):
+    """String RAT columns through the chunk store: read a stored string
+    column, derive a new string column, chunked write + full read-back."""
+    store = RatChunkStore.from_table(rat_table, str(tmp_path / "s.ratz"), CHUNK)
+
+    def user_fn(inputs, outputs):
+        outputs.value = inputs.value
+        outputs.tagged = np.char.add(inputs.label.astype(str), "_t")
+
+    out = rat_apply_store(user_fn, store, str(tmp_path / "s_out.ratz"))
+    got = out.read_all(["value", "tagged"])
+    want = [f"c{i % 9}_t" for i in range(N)]
+    assert got["tagged"].to_pylist() == want
+    assert got["value"].to_pylist() == rat_table["value"].to_pylist()

@@ -308,3 +308,38 @@ def test_auto_lookup_join_both_paths(ray_session):
         g = sorted(map(tuple, got[["k", "v", "name"]].itertuples(index=False)))
         w = sorted(map(tuple, want[["k", "v", "name"]].itertuples(index=False)))
         assert g == w and len(g) > 0, f"cap={cap}"
+
+
+def test_auto_lookup_join_empty_right(ray_session):
+    """An empty right side (filtered dim matching nothing) returns an
+    empty result with the full output schema on BOTH paths, instead of
+    crashing in concat_tables / referencing pos_c unbound."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.join import auto_lookup_join
+
+    lt = pa.table({
+        "k": pa.array(np.arange(100)),
+        "v": pa.array(np.arange(100) * 2),
+    })
+    rt = pa.table({
+        "rk": pa.array([], type=pa.int64()),
+        "name": pa.array([], type=pa.string()),
+    })
+    args = (
+        "k", "rk",
+        [("k", pa.int64()), ("v", pa.int64())],
+        [("name", pa.string(), "name")],
+    )
+    for cap in (2_000_000, 0):  # broadcast path, then forced exchange path
+        out = auto_lookup_join(
+            ray.data.from_arrow(lt).repartition(4),
+            ray.data.from_arrow(rt),
+            *args, broadcast_cap_rows=cap,
+        )
+        assert out.count() == 0, f"cap={cap}"
+        # schema survives at the Dataset level (to_pandas drops columns
+        # for all-empty datasets — a Ray quirk, not the join's contract)
+        assert sorted(out.schema().names) == ["k", "name", "v"], f"cap={cap}"

@@ -166,3 +166,35 @@ def test_dataset_band_stats_ray(ray_session, tmp_path):
         hmin, hmax, counts = res[band]["hist"]
         assert (hmin, hmax) == (0, 499)
         np.testing.assert_array_equal(counts, np.full(500, 500))
+
+
+@pytest.mark.parametrize("cdtype", [np.complex64, np.complex128])
+def test_complex_stats(cdtype):
+    """Complex pixel types: stats on the real component (the reference
+    accumulator's astype(float64) semantics, calcstats.py:666-667),
+    nodata exclusion on the complex value, histogram skipped."""
+    rng = np.random.default_rng(3)
+    vals = (rng.normal(0, 40, 500) + 1j * rng.normal(0, 40, 500)).astype(cdtype)
+    acc = stats.StatsAccumulator(dtype=np.dtype(cdtype))
+    for chunk in np.array_split(vals, 4):
+        acc.accum_stats(chunk)
+        acc.accum_hist(chunk)  # must no-op, not crash
+    mn, mx, mean, std = acc.final_stats()
+    re = vals.real.astype(np.float64)
+    assert mn == re.min() and mx == re.max()
+    assert mean == pytest.approx(re.mean(), rel=1e-6)
+    want_std = np.sqrt(np.maximum((re**2).mean() - re.mean() ** 2, 0))
+    assert std == pytest.approx(want_std, rel=1e-5)
+    assert acc.hist_pos is None and acc.hist_neg is None
+    assert acc.full_hist() == (None, None, None)
+
+
+def test_complex_stats_null_exclusion():
+    nullv = complex(2, 3)
+    vals = np.array([1 + 1j, 2 + 3j, 4 - 2j, 2 + 3j, -5 + 0j], dtype=np.complex128)
+    acc = stats.StatsAccumulator(nullval=nullv, dtype=np.dtype(np.complex128))
+    acc.accum_stats(vals)
+    mn, mx, mean, std = acc.final_stats()
+    keep = vals[vals != nullv].real
+    assert acc.count == 3 and mn == keep.min() and mx == keep.max()
+    assert mean == pytest.approx(keep.mean(), rel=1e-12)
