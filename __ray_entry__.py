@@ -492,6 +492,18 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from rios_ray.pipelines.text import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir, n=5)
+
+
+def _q_bigram_lm(sf_dir: str):
+    from rios_ray.pipelines.text import bigram_lm
+
+    return bigram_lm(sf_dir, min_count=5)
+
+
 def _q_cell_pages_capped(sf_dir: str):
     """Per-cell fan-out cap on the deliberately skewed geocoded pages
     (salted three-stage cap, stages/skew.py)."""
@@ -852,10 +864,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_pages_capped": _q_cell_pages_capped,
         "host_counts": _q_host_counts,
         "pip_join_pairs": _q_pip_join_pairs,
+        # --- (c) new this round ---
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bigram_lm": _q_bigram_lm,
+        # ---------- entries below are outside the driver's 50-query window
+        # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
+        # ---------- zonal_stats/radius_join rotated out this round, both
+        # ---------- green in CORRECTNESS_r02.json and untouched)
         "zonal_stats": _q_zonal_stats,
         "radius_join": _q_radius_join,
-        # ---------- entries below are outside the driver's 50-query window
-        # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since)
         "extracted_text": _q_extracted_text,
         "geocode_cells": _q_geocode_cells,
         "cell_counts": _q_cell_counts,
@@ -1196,6 +1213,36 @@ def _text_oracle_sql() -> dict[str, str]:
              GROUP BY token
              ORDER BY df DESC, token
              LIMIT 100
+        """,
+        # rank by the exact rational tf/df (order-equivalent to tf*idf
+        # for a fixed document under any monotone idf) so the ordering
+        # is engine-bitwise; both engines do one int/int double division
+        "tfidf_top_terms": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                           FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term,
+                         CAST(tf.tf AS BIGINT) AS tf, CAST(dfx.df AS BIGINT) AS df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY tf.tf * 1.0 / dfx.df DESC,
+                                                     tf.term) AS rank
+                    FROM tf JOIN dfx USING (term))
+            SELECT doc_id, term, tf, df, rank FROM s WHERE rank <= 5
+        """,
+        "bigram_lm": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            t AS (SELECT doc_id, unnest(l) AS w,
+                         generate_subscripts(l, 1) AS i FROM s),
+            bg AS (SELECT a.w AS w1, b.w AS w2
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+                    FROM bg GROUP BY 1, 2),
+            c AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS w1_n FROM p GROUP BY w1)
+            SELECT p.w1, p.w2, p.pair_n, c.w1_n,
+                   p.pair_n * 1.0 / c.w1_n AS cond_p
+              FROM p JOIN c USING (w1)
+             WHERE p.pair_n >= 5
         """,
         "decontaminate": _decontaminate_sql(),
         "stratified_sample": """

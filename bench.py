@@ -89,16 +89,20 @@ def run_bench() -> dict:
     # measurements up to 3x — the min of three is the steady-state
     # figure that projects to a long-running job.
     timings: dict[str, float] = {}
+    raw_iters: dict[str, list[float]] = {}
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name: str, fn):
-        best = None
+        its = []
         for _ in range(repeats):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            its.append(round(time.time() - t0, 3))
+        # per-iteration raw values travel in the JSON so a reader can
+        # tell steal-window noise (spread across iters) from a real
+        # regression (all iters slow) without a rerun
+        raw_iters[name] = its
+        timings[name] = min(its)
 
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     selected = set(only.split(",")) if only else None
@@ -231,6 +235,7 @@ def run_bench() -> dict:
         "value": headline if headline is not None else round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "iters": raw_iters,
         "sf": synth.sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
         "n_pages": n_pages,

@@ -521,19 +521,22 @@ def minhash_clusters(
 
 def winnow_df_cap(sf_dir: str) -> int:
     """Default winnow document-frequency cap, tied to corpus size: a
-    fingerprint present in more than 10% of documents is boilerplate,
+    fingerprint present in more than 1% of documents is boilerplate,
     not copied-span evidence, and its O(df^2) pair fan-out is dropped
     whole (never truncated — a DROPPED bucket is SQL-expressible, a
-    truncated one is not).  Floor of 64 keeps tiny test corpora from
-    capping away genuine duplicate groups.  Corpus size comes from
-    parquet metadata (no scan)."""
+    truncated one is not).  1% keeps the worst-case pair volume at
+    ~n_buckets x (n/100)^2 / 2 — measured 1.1M pairs at sf0.1 vs 63M
+    at a 10% cap on the (adversarially collision-heavy) synthetic
+    corpus.  Floor of 64 keeps tiny test corpora from capping away
+    genuine duplicate groups.  Corpus size comes from parquet metadata
+    (no scan)."""
     import pyarrow.parquet as pq
 
     from ..sources.documents import documents_path
 
     n_docs = pq.ParquetFile(documents_path(sf_dir)).metadata.num_rows
     n_corpus = n_docs + n_docs // 10  # + injected duplicate copies
-    return max(64, n_corpus // 10)
+    return max(64, n_corpus // 100)
 
 
 def winnow_pairs(

@@ -633,3 +633,162 @@ def lang_confusion(sf_dir: str) -> ray.data.Dataset:
 
     return grouped_count(ds, ["lang", "lang_pred"], alias="n_docs",
                          final_mode="tree")
+
+
+def tfidf_top_terms(sf_dir: str, n: int = 5) -> ray.data.Dataset:
+    """Per-document top-``n`` terms by tf/df relevance (the rational
+    TF-IDF ordering: for a fixed document, rank by tf * idf(df) is
+    order-equivalent to rank by tf/df under any monotone idf — using
+    the exact rational keeps the score engine-bitwise for the oracle).
+
+    Output (doc_id, term, tf, df, rank), rank 1..n per document,
+    ties broken by term.
+
+    Scale shape: per-batch (doc, term, tf) pre-count (docs are whole
+    rows, so a batch holds complete documents and the count is final) ->
+    materialized once (one row per DISTINCT term per doc — the same
+    bounded footprint the df aggregate needs) -> combiner-first df
+    aggregate -> strategy-selecting lookup join to attach df (broadcast
+    under the cap, partitioned exchange past it) -> per-doc vectorized
+    rank inside one keyed exchange.  No global sort; nothing row-wise.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.agg import (
+        hash_grouped_aggregate,
+        hash_partitioned_groups,
+    )
+    from ..functions.join import auto_lookup_join
+
+    def local_tf(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tok = df["text"].str.split(" ")
+        exploded = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].repeat(tok.str.len()),
+                "term": np.concatenate(tok.to_numpy()),
+            }
+        )
+        counts = (
+            exploded.groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(counts["doc_id"].to_numpy(), type=pa.int64()),
+                "term": pa.array(counts["term"], type=pa.string()),
+                "tf": pa.array(counts["tf"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    tf = (
+        read_documents(sf_dir, columns=["doc_id", "text"])
+        .map_batches(local_tf, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=BATCH_SIZE)
+        .materialize()  # consumed twice: df aggregate + join left side
+    )
+    df_tbl = hash_grouped_aggregate(tf, ["term"], [(None, "count", "df")])
+    joined = auto_lookup_join(
+        tf, df_tbl, "term", "term",
+        [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())],
+        [("df", pa.int64(), "df")],
+    )
+
+    def rank_topn(tbl: pa.Table) -> pa.Table:
+        score = (
+            tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        tbl = tbl.append_column("_score", pa.array(score))
+        tbl = tbl.sort_by([
+            ("doc_id", "ascending"), ("_score", "descending"),
+            ("term", "ascending"),
+        ])
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        new = np.concatenate([[True], doc[1:] != doc[:-1]]) if len(doc) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(doc)))
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        keep = rank <= n
+        out = tbl.drop_columns(["_score"]).filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep]))
+
+    return hash_partitioned_groups(joined, ["doc_id"], rank_topn)
+
+
+def bigram_lm(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """Bigram language-model training counts over whitespace tokens:
+    (w1, w2, pair_n, w1_n, cond_p) with cond_p = pair_n / w1_n — the
+    conditional-probability table a CCNet-style perplexity filter
+    trains on.
+
+    Scale shape: per-batch bigram pre-count (vectorized boundary-masked
+    shift over the batch's flat token array — no per-doc loop) ->
+    combiner-first (w1, w2) sum -> tiny second aggregate for the w1
+    context totals (over the already-aggregated pair table) ->
+    strategy-selecting join to attach totals -> threshold.  cond_p is
+    one exact-int division, so it hash-compares bitwise vs the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+    from ..functions.join import auto_lookup_join
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tok = df["text"].str.split(" ")
+        lens = tok.str.len().to_numpy().astype(np.int64)
+        if lens.sum() == 0:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        flat = np.concatenate(tok.to_numpy())
+        keep = np.ones(len(flat), dtype=bool)
+        keep[np.cumsum(lens) - 1] = False  # last token of each doc
+        idx = np.flatnonzero(keep)
+        pairs = (
+            pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "w1": pa.array(pairs["w1"], type=pa.string()),
+                "w2": pa.array(pairs["w2"], type=pa.string()),
+                "n": pa.array(pairs["n"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    ds = read_documents(sf_dir, columns=["text"]).map_batches(
+        local_pairs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    pairs = hash_grouped_aggregate(
+        ds, ["w1", "w2"], [("n", "sum", "pair_n")]
+    ).materialize()  # consumed twice: context totals + join left side
+    ctx = hash_grouped_aggregate(pairs, ["w1"], [("pair_n", "sum", "w1_n")])
+    joined = auto_lookup_join(
+        pairs, ctx, "w1", "w1",
+        [("w1", pa.string()), ("w2", pa.string()), ("pair_n", pa.int64())],
+        [("w1_n", pa.int64(), "w1_n")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["pair_n"], min_count))
+        p = (
+            b["pair_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            / b["w1_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        return b.append_column("cond_p", pa.array(p))
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )

@@ -451,3 +451,63 @@ def test_doc_length_token_corr_vs_duckdb(ray_session, con):
     assert int(got["n"][0]) == int(want["n"][0])
     assert got["corr"][0] == want["corr"][0]  # bit-exact
     assert 0.5 < got["corr"][0] <= 1.0  # length and tokens correlate
+
+
+def test_tfidf_top_terms_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import tfidf_top_terms
+
+    got = (
+        tfidf_top_terms(SF, n=5)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = con.sql("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM docs),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * 1.0 / dfx.df DESC,
+                                                 tf.term) AS rank
+                FROM tf JOIN dfx USING (term))
+        SELECT doc_id, term, tf, df, rank FROM s WHERE rank <= 5
+         ORDER BY doc_id, rank
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    # every document present with exactly n rows (docs have >= 5 terms)
+    assert (got.groupby("doc_id").size() == 5).all()
+
+
+def test_bigram_lm_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import bigram_lm
+
+    got = (
+        bigram_lm(SF, min_count=2)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    want = con.sql("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+        t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM s),
+        bg AS (SELECT a.w AS w1, b.w AS w2
+                 FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        p AS (SELECT w1, w2, count(*) AS pair_n FROM bg GROUP BY 1, 2)
+        SELECT w1, w2, pair_n FROM p WHERE pair_n >= 2 ORDER BY w1, w2
+    """).df()
+    assert got["w1"].tolist() == want["w1"].tolist()
+    assert got["w2"].tolist() == want["w2"].tolist()
+    assert got["pair_n"].tolist() == want["pair_n"].tolist()
+    # conditional probabilities sum to <= 1 per context and equal the
+    # exact int division (bitwise)
+    import numpy as np
+    np.testing.assert_array_equal(
+        got["cond_p"].to_numpy(),
+        got["pair_n"].to_numpy().astype(np.float64)
+        / got["w1_n"].to_numpy().astype(np.float64),
+    )
