@@ -417,7 +417,9 @@ def _q_decontaminate(sf_dir: str):
 def _q_dedup_exact(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
-    return D.exact_dedup(sf_dir)
+    # md5 key: exactly matches DuckDB md5() (the library default is the
+    # vectorized FNV key — same groups up to 64-bit collisions)
+    return D.exact_dedup(sf_dir, key="md5")
 
 
 def _q_dedup_winnow_pairs(sf_dir: str):

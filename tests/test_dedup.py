@@ -48,7 +48,7 @@ def gram_sets():
 
 def test_exact_dedup(ray_session, con):
     got = (
-        D.exact_dedup(SF)
+        D.exact_dedup(SF, key="md5")  # oracle-parity key (default: fnv)
         .to_pandas()
         .sort_values("text_md5")
         .reset_index(drop=True)
@@ -356,3 +356,19 @@ def test_winnow_df_cap_drop_metric(ray_session, tmp_path, monkeypatch):
     summary = ray.get(collector.summary.remote())
     key = "winnow_pairs/df_cap_dropped"
     assert key in summary and summary[key]["rows"] > 8, summary
+
+
+def test_exact_dedup_fnv_matches_md5_groups(ray_session):
+    """The vectorized FNV key (scale default) produces the same dedup
+    GROUPS as the md5 oracle-parity key: identical (keep_id, n_docs)
+    multisets (keys differ, grouping must not)."""
+    from rios_ray.pipelines.dedup import exact_dedup
+
+    sf = "/root/testdata/sf0.001"
+    md5 = exact_dedup(sf, key="md5").to_pandas()
+    fnv = exact_dedup(sf, key="fnv").to_pandas()
+    a = sorted(zip(md5["keep_id"], md5["n_docs"]))
+    b = sorted(zip(fnv["keep_id"], fnv["n_docs"]))
+    assert a == b and len(a) > 0
+    # fnv keys are 16-hex-char strings (schema-compatible with md5's 32)
+    assert fnv["text_md5"].str.len().eq(16).all()
