@@ -494,6 +494,18 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_events_rolling_extrema(sf_dir: str):
+    from rios_ray.pipelines.events import rolling_extrema
+
+    return rolling_extrema(sf_dir, k=5)
+
+
+def _q_emb_kmeans_assign(sf_dir: str):
+    from rios_ray.pipelines.embeddings import kmeans_assign
+
+    return kmeans_assign(sf_dir, nlist=16)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from rios_ray.pipelines.text import tfidf_top_terms
 
@@ -864,15 +876,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "cell_pages_capped": _q_cell_pages_capped,
-        "host_counts": _q_host_counts,
-        "pip_join_pairs": _q_pip_join_pairs,
         # --- (c) new this round ---
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_lm": _q_bigram_lm,
+        "events_rolling_extrema": _q_events_rolling_extrema,
+        "emb_kmeans_assign": _q_emb_kmeans_assign,
         # ---------- entries below are outside the driver's 50-query window
         # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
-        # ---------- zonal_stats/radius_join rotated out this round, both
-        # ---------- green in CORRECTNESS_r02.json and untouched)
+        # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs
+        # ---------- rotated out this round, all green in r02 and untouched)
+        "host_counts": _q_host_counts,
+        "pip_join_pairs": _q_pip_join_pairs,
         "zonal_stats": _q_zonal_stats,
         "radius_join": _q_radius_join,
         "extracted_text": _q_extracted_text,
@@ -1216,6 +1230,16 @@ def _text_oracle_sql() -> dict[str, str]:
              ORDER BY df DESC, token
              LIMIT 100
         """,
+        # rolling extrema are value PICKS (order-free, bitwise-safe
+        # across engines, unlike a rolling float SUM)
+        "events_rolling_extrema": """
+            SELECT event_id, user_id,
+                   max(value) OVER w AS roll_max,
+                   min(value) OVER w AS roll_min
+              FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
         # rank by the exact rational tf/df (order-equivalent to tf*idf
         # for a fixed document under any monotone idf) so the ordering
         # is engine-bitwise; both engines do one int/int double division
@@ -1440,6 +1464,12 @@ def _pixels_sidecar_path() -> str:
     return ensure_pixels_sidecar(SF001)
 
 
+def _centroids_sidecar_path() -> str:
+    from rios_ray.pipelines.embeddings import ensure_centroids_sidecar
+
+    return ensure_centroids_sidecar(SF001)
+
+
 def _embeddings_oracle_sql() -> dict[str, str]:
     """Embedding oracles over the ``embeddings`` view.  kNN output is
     rank-only: DuckDB's float32 cosine differs from numpy float64 at
@@ -1472,6 +1502,20 @@ def _embeddings_oracle_sql() -> dict[str, str]:
         # top-k, so the same oracle gates them
         "knn_embeddings_ivf": knn_exact,
         "knn_embeddings_pq": knn_exact,
+        # nearest-centroid assignment against the deterministic centroid
+        # sidecar (single source for both engines); raw dot products —
+        # row normalization cannot change a fixed row's argmax
+        "emb_kmeans_assign": f"""
+            WITH c AS (SELECT cluster, centroid
+                         FROM read_parquet('{_centroids_sidecar_path()}')),
+            s AS (SELECT e.vec_id, c.cluster,
+                         row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.embedding, c.centroid) DESC,
+                                      c.cluster) AS rn
+                    FROM embeddings e CROSS JOIN c)
+            SELECT vec_id, cluster FROM s WHERE rn = 1
+        """,
         "emb_neardup": neardup,
         "emb_neardup_lsh": neardup,
         # transitive closure over the exact-cosine pairs: the oracle for

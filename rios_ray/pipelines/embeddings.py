@@ -618,3 +618,73 @@ def knn_embeddings_pq(
         concurrency=default_pool(),
     )
     return _merge_topk(cands, k)
+
+
+def ensure_centroids_sidecar(sf_dir: str, nlist: int = 16,
+                             sample_rows: int = 20_000) -> str:
+    """Deterministic (cluster, centroid list<double>) parquet: the
+    k-means codebook trained driver-side (same bounded sample + seed as
+    the IVF path), cached under /tmp/graft_synth.  Single source of
+    centroids for BOTH the engine's assignment scan and the DuckDB
+    oracle, so the argmax comparison tests the distributed scan, not
+    centroid training drift."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..synth import PAGES_ROOT
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PAGES_ROOT, name, f"centroids_{nlist}.parquet")
+    if not os.path.exists(out):
+        _, mat = _load_matrix(sf_dir)
+        cent = _kmeans(_normalize(mat[:sample_rows]), nlist)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(cent.ravel().astype(np.float64)), cent.shape[1]
+        ).cast(pa.list_(pa.float64()))
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({"cluster": pa.array(np.arange(nlist, dtype=np.int64)),
+                      "centroid": arr}),
+            tmp,
+        )
+        os.replace(tmp, out)
+    return out
+
+
+def kmeans_assign(sf_dir: str, nlist: int = 16) -> ray.data.Dataset:
+    """(vec_id, cluster): nearest-centroid assignment of every vector —
+    the partitioning step of embedding-space clustering / IVF build,
+    exposed as its own operator.
+
+    Centroids come from the deterministic sidecar (broadcast once via
+    ``ray.put``); each batch is ONE matmul + argmax.  Raw (unnormalized)
+    row vectors are used on both sides: for a fixed row, argmax over
+    centroids of dot(e, c) equals argmax of dot(e/|e|, c), so skipping
+    the row normalization removes a whole class of float divergence vs
+    the SQL oracle.  Ties (never observed on the fixture) break to the
+    smaller cluster id in both engines.
+    """
+    import pyarrow.parquet as pq
+
+    cent_tbl = pq.read_table(ensure_centroids_sidecar(sf_dir, nlist))
+    cent = batch_matrix(cent_tbl["centroid"])
+    cref = ray.put(cent)
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = batch_matrix(b["embedding"])
+            scores = mat @ self.cent.T  # (n, nlist)
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "cluster": pa.array(np.argmax(scores, axis=1).astype(np.int64)),
+            })
+
+    return read_embeddings(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE, concurrency=default_pool(),
+    )

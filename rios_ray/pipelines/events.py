@@ -829,3 +829,62 @@ def event_type_bigrams(sf_dir: str) -> ray.data.Dataset:
     return hash_grouped_aggregate(
         pairs, ["type_a", "type_b"], [(None, "count", "n")], final_mode="tree"
     )
+
+
+def rolling_extrema(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """Per-user rolling extrema over the last ``k`` events (ordered by
+    ts, event_id): (event_id, user_id, roll_max, roll_min) — the
+    streaming-window aggregate shape (ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW).
+
+    Extrema are value PICKS, not sums, so the result is bitwise
+    engine-independent (no float-reduction-order hazard) — the same
+    reason grouped_quantiles is exact-comparable where a rolling AVG of
+    doubles would not be.
+
+    Scale shape: one user-keyed exchange co-locates each user's events;
+    per partition ONE composite Arrow sort, then the sliding extremum
+    is k-1 boundary-masked shifted-array passes over the whole
+    partition (the winnowing window-min kernel family) — no per-user
+    Python, no window-function sort barrier.
+    """
+    from ..functions.agg import hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "e": pa.array(_epoch_us(b)),
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "value": b["value"],
+        })
+
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def roll(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "roll_max": pa.array([], type=pa.float64()),
+                             "roll_min": pa.array([], type=pa.float64())})
+        tbl = tbl.sort_by([
+            ("user_id", "ascending"), ("e", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        mx = val.copy()
+        mn = val.copy()
+        for j in range(1, k):
+            same = uid[j:] == uid[:-j]
+            np.maximum(mx[j:], np.where(same, val[:-j], -np.inf), out=mx[j:])
+            np.minimum(mn[j:], np.where(same, val[:-j], np.inf), out=mn[j:])
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "roll_max": pa.array(mx),
+            "roll_min": pa.array(mn),
+        })
+
+    return hash_partitioned_groups(ds, ["user_id"], roll)

@@ -120,3 +120,34 @@ def test_pq_knn_recall_vs_brute(ray_session):
     assert np.mean(recalls) >= 0.85, np.mean(recalls)
     # emitted ranks are exact-cosine ranks within the returned set
     assert (pq_res.groupby("qid")["rank"].max() == 10).all()
+
+
+def test_kmeans_assign_vs_duckdb(ray_session, con):
+    """Nearest-centroid assignment == DuckDB argmax over the shared
+    centroid sidecar (raw dot products; row norm can't flip an argmax)."""
+    from rios_ray.pipelines.embeddings import (
+        ensure_centroids_sidecar,
+        kmeans_assign,
+    )
+
+    path = ensure_centroids_sidecar(SF, nlist=16)
+    got = (
+        kmeans_assign(SF, nlist=16)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = con.sql(f"""
+        WITH c AS (SELECT cluster, centroid FROM read_parquet('{path}')),
+        s AS (SELECT e.vec_id, c.cluster,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_inner_product(e.embedding, c.centroid) DESC,
+                                  c.cluster) AS rn
+                FROM embeddings e CROSS JOIN c)
+        SELECT vec_id, cluster FROM s WHERE rn = 1 ORDER BY vec_id
+    """).df()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cluster"].tolist() == want["cluster"].tolist()
+    # every cluster id valid; multiple clusters actually used
+    assert got["cluster"].between(0, 15).all() and got["cluster"].nunique() > 4

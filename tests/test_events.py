@@ -329,3 +329,26 @@ def test_funnel_fallback_path_matches_fast_path(ray_session):
     f = sorted(map(tuple, fast.itertuples(index=False)))
     s = sorted(map(tuple, slow.itertuples(index=False)))
     assert f == s and len(f) > 0
+
+
+def test_rolling_extrema_vs_duckdb(ray_session, con):
+    """Per-user ROWS-window extrema == DuckDB window functions, bitwise
+    (extrema are picks, no reduction-order hazard)."""
+    got = (
+        E.rolling_extrema(SF, k=5)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.sql("""
+        SELECT event_id, user_id,
+               max(value) OVER w AS roll_max,
+               min(value) OVER w AS roll_min
+          FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["roll_max"].tolist() == want["roll_max"].tolist()
+    assert got["roll_min"].tolist() == want["roll_min"].tolist()
