@@ -156,11 +156,31 @@ def run_bench() -> dict:
     def winnow():
         from rios_ray.pipelines.dedup import winnow_pairs
 
-        # df_cap=256 is the scale configuration: hot (boilerplate)
-        # fingerprints emit O(F^2) pairs, and the fixture's bucket
-        # sizes grow linearly with sf — uncapped is oracle-exact at
-        # sf0.01 but quadratic at bench scale (21.7 s -> capped ~5 s)
+        # default df_cap (1% of corpus): hot (boilerplate) fingerprints
+        # emit O(F^2) pairs and the fixture's bucket sizes grow linearly
+        # with sf — uncapped is quadratic at bench scale (16-40 s vs
+        # ~4-6 s capped), and the capped run is what the oracle gates
         return winnow_pairs(sf_dir, min_shared=40).count()
+
+    def tfidf():
+        from rios_ray.pipelines.text import tfidf_top_terms
+
+        return tfidf_top_terms(sf_dir, n=5).count()
+
+    def bigrams_lm():
+        from rios_ray.pipelines.text import bigram_lm
+
+        return bigram_lm(sf_dir, min_count=5).count()
+
+    def rolling():
+        from rios_ray.pipelines.events import rolling_extrema
+
+        return rolling_extrema(sf_dir, k=5).count()
+
+    def kmeans():
+        from rios_ray.pipelines.embeddings import kmeans_assign
+
+        return kmeans_assign(sf_dir, nlist=16).count()
 
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
@@ -222,6 +242,10 @@ def run_bench() -> dict:
         "dedup_winnow": winnow,
         "heavy_hitters": hitters,
         "media_frames": media_frames,
+        "tfidf_top_terms": tfidf,
+        "bigram_lm": bigrams_lm,
+        "events_rolling": rolling,
+        "kmeans_assign": kmeans,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:
