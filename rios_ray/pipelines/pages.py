@@ -210,9 +210,12 @@ def knn_pages_cellring(sf_dir: str, k: int = 10,
         .materialize()
     )
 
-    # pass 1: per-cell counts (small: bounded by grid cells, not rows)
+    # pass 1: per-cell counts.  Tree final: cardinality is bounded by
+    # the GRID (not the corpus), so per-batch partials + one merge task
+    # beat a keyed exchange — same reasoning as flagship's final
     counts_df = grouped_count(
         geo.select_columns(["cell"]), ["cell"], alias="n",
+        final_mode="tree",
     ).to_pandas()
     cell_counts = dict(zip(counts_df["cell"].astype(int), counts_df["n"].astype(int)))
 
