@@ -494,6 +494,12 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_grid_dbscan(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import grid_dbscan
+
+    return grid_dbscan(sf_dir, minpts=10)
+
+
 def _q_events_rolling_extrema(sf_dir: str):
     from rios_ray.pipelines.events import rolling_extrema
 
@@ -875,16 +881,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
         "dedup_simhash_pairs": _q_dedup_simhash,
-        "cell_pages_capped": _q_cell_pages_capped,
         # --- (c) new this round ---
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_lm": _q_bigram_lm,
         "events_rolling_extrema": _q_events_rolling_extrema,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
+        "grid_dbscan": _q_grid_dbscan,
         # ---------- entries below are outside the driver's 50-query window
         # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
-        # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs
-        # ---------- rotated out this round, all green in r02 and untouched)
+        # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs/
+        # ---------- cell_pages_capped rotated out this round, all green
+        # ---------- in r02 and untouched)
+        "cell_pages_capped": _q_cell_pages_capped,
         "host_counts": _q_host_counts,
         "pip_join_pairs": _q_pip_join_pairs,
         "zonal_stats": _q_zonal_stats,
@@ -1943,6 +1951,33 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2"""
             for r in (DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1, DEFAULT_GRID_RES - 2)
         ),
+        # grid-DBSCAN: core cells (count >= minpts), 8-neighbor
+        # adjacency (lon wraps, lat clips implicitly — only existing
+        # cells join), transitive closure, min-id cluster labels —
+        # gates counts + edge emission + semi-join + distributed CC +
+        # label back-join end to end
+        "grid_dbscan": f"""
+            WITH RECURSIVE c AS (
+                SELECT {_cell_sql()} AS cell, CAST(count(*) AS BIGINT) AS n_pages
+                  FROM ({_pages_sql()}) GROUP BY 1 HAVING count(*) >= 10
+            ),
+            d AS (SELECT cell, cell // {2 << DEFAULT_GRID_RES} AS cy,
+                         cell % {2 << DEFAULT_GRID_RES} AS cx FROM c),
+            e AS (SELECT a.cell AS a, b.cell AS b
+                    FROM d a JOIN d b
+                      ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+                     AND b.cx IN ((a.cx + {(2 << DEFAULT_GRID_RES) - 1}) % {2 << DEFAULT_GRID_RES},
+                                  a.cx,
+                                  (a.cx + 1) % {2 << DEFAULT_GRID_RES})),
+            reach(src, dst) AS (
+                SELECT a, a FROM e
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+            )
+            SELECT c.cell, CAST(min(r.dst) AS BIGINT) AS cluster_id, c.n_pages
+              FROM reach r JOIN c ON c.cell = r.src
+             GROUP BY 1, 3
+        """,
         "cell_focal_stats": f"""
             WITH c AS (
                 SELECT {_cell_sql()} AS cell, count(*) AS n

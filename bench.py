@@ -182,6 +182,11 @@ def run_bench() -> dict:
 
         return kmeans_assign(sf_dir, nlist=16).count()
 
+    def dbscan():
+        from rios_ray.pipelines.spatial_ops import grid_dbscan
+
+        return grid_dbscan(sf_dir, minpts=10).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -246,6 +251,7 @@ def run_bench() -> dict:
         "bigram_lm": bigrams_lm,
         "events_rolling": rolling,
         "kmeans_assign": kmeans,
+        "grid_dbscan": dbscan,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

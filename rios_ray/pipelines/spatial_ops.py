@@ -370,3 +370,74 @@ def cell_focal_stats(sf_dir: str, res: int = DEFAULT_GRID_RES) -> ray.data.Datas
         })
 
     return hash_partitioned_groups(contrib, ["cell"], reduce_cells)
+
+
+def grid_dbscan(sf_dir: str, minpts: int = 10,
+                res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
+    """Grid-DBSCAN: density-based spatial clusters of the page surface.
+
+    A cell is CORE when it holds >= ``minpts`` pages; core cells that
+    are 8-neighbors (longitude wraps, latitude clips — the focal-stats
+    adjacency) belong to one cluster; cluster_id = min cell id of the
+    component.  Output (cell, cluster_id, n_pages), one row per core
+    cell — the density-clustering composite: combiner-first counts ->
+    vectorized neighbor-edge emission -> semi-join against the core set
+    -> distributed connected components (functions.graph, pointer-
+    halving rounds) -> label back-join.  Every stage is grid-bounded
+    except the first scan, so the whole clustering costs one pass over
+    the data plus exchanges over cell-cardinality tables.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.graph import connected_components
+    from ..functions.join import partitioned_exists_join, partitioned_lookup_join
+
+    nx = 2 << res
+    ny = 1 << res
+
+    counts = grouped_count(
+        geocoded_pages(sf_dir, keep_text=False, families=("grid",))
+        .select_columns(["cell"]),
+        ["cell"], alias="n_pages", final_mode="tree",
+    )
+
+    def core_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_pages"], minpts))
+
+    core = counts.map_batches(
+        core_only, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()  # grid-bounded; consumed 3x (edges, semi-join, labels)
+
+    def edges9(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        cy, cx = cell // nx, cell % nx
+        src, dst = [], []
+        for dy in (-1, 0, 1):
+            ok = (cy + dy >= 0) & (cy + dy < ny)  # latitude clips
+            if not ok.any():
+                continue
+            for dx in (-1, 0, 1):
+                ncell = (cy[ok] + dy) * nx + (cx[ok] + dx) % nx  # lon wraps
+                src.append(cell[ok])
+                dst.append(ncell)
+        return pa.table({
+            "cell": pa.array(np.concatenate(src) if src else np.zeros(0, np.int64)),
+            "dst": pa.array(np.concatenate(dst) if dst else np.zeros(0, np.int64)),
+        })
+
+    cand = core.map_batches(
+        edges9, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    # keep only edges whose destination is itself a core cell (the
+    # dy=dx=0 self-edge always survives, so isolated core cells still
+    # reach the component solver and label themselves)
+    edges = partitioned_exists_join(
+        cand, core, "dst", "cell", [("cell", pa.int64()), ("dst", pa.int64())]
+    )
+    labels = connected_components(edges, col_a="cell", col_b="dst")
+    return partitioned_lookup_join(
+        core, labels, "cell", "node",
+        [("cell", pa.int64()), ("n_pages", pa.int64())],
+        [("cluster_id", pa.int64(), "cluster_id")],
+    )

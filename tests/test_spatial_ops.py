@@ -322,3 +322,53 @@ def test_cell_rollup_single_level(ray_session):
 
     got = cell_rollup(SF, res=DEFAULT_GRID_RES, levels=1).to_pandas()
     assert (got["res"] == DEFAULT_GRID_RES).all() and len(got) > 0
+
+
+def test_grid_dbscan_vs_unionfind(ray_session):
+    """Cluster labels equal a driver-side union-find over the core-cell
+    adjacency (lon wrap + lat clip), and cluster_id is the component
+    min; isolated core cells label themselves."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rios_ray import synth
+    from rios_ray.cells import grid_cell_id
+    from rios_ray.pipelines.spatial_ops import grid_dbscan
+    from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+    sf = "/root/testdata/sf0.001"
+    got = grid_dbscan(sf, minpts=5).to_pandas()
+
+    # oracle: recompute core cells + union-find in plain python
+    from rios_ray.pipelines.pages import geocoded_pages
+    geo = geocoded_pages(sf, keep_text=False, families=("grid",)).to_pandas()
+    import collections
+    counts = collections.Counter(geo["cell"].astype(int))
+    core = {c for c, n in counts.items() if n >= 5}
+    nx, ny = 2 << DEFAULT_GRID_RES, 1 << DEFAULT_GRID_RES
+    parent = {c: c for c in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for c in core:
+        cy, cx = divmod(c, nx)
+        for dy in (-1, 0, 1):
+            if not (0 <= cy + dy < ny):
+                continue
+            for dx in (-1, 0, 1):
+                nb = (cy + dy) * nx + (cx + dx) % nx
+                if nb in core:
+                    ra, rb = find(c), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want = {c: find(c) for c in core}
+    got_map = dict(zip(got["cell"].astype(int), got["cluster_id"].astype(int)))
+    assert got_map == want
+    assert dict(zip(got["cell"].astype(int), got["n_pages"].astype(int))) == {
+        c: counts[c] for c in core
+    }
+    assert len(core) > 0
