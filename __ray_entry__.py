@@ -494,6 +494,12 @@ def _q_flagship_resumable(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _q_pages_cube(sf_dir: str):
+    from rios_ray.pipelines.pages import pages_cube
+
+    return pages_cube(sf_dir)
+
+
 def _q_grid_dbscan(sf_dir: str):
     from rios_ray.pipelines.spatial_ops import grid_dbscan
 
@@ -871,7 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (b) touched this round / flagship-critical ---
         "flagship_cell_category": _q_flagship,
         "flagship_resumable": _q_flagship_resumable,
-        "knn_pages": _q_knn,
+        "pages_cube": _q_pages_cube,
         "knn_pages_cellring": _q_knn_cellring,
         "text_winnow": _q_text_winnow,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
@@ -890,8 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- entries below are outside the driver's 50-query window
         # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
         # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs/
-        # ---------- cell_pages_capped rotated out this round, all green
-        # ---------- in r02 and untouched)
+        # ---------- cell_pages_capped/knn_pages rotated out this round,
+        # ---------- all green in r02 and untouched)
+        "knn_pages": _q_knn,
         "cell_pages_capped": _q_cell_pages_capped,
         "host_counts": _q_host_counts,
         "pip_join_pairs": _q_pip_join_pairs,
@@ -1951,6 +1958,20 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY 1, 2"""
             for r in (DEFAULT_GRID_RES, DEFAULT_GRID_RES - 1, DEFAULT_GRID_RES - 2)
         ),
+        # GROUPING SETS cube over lang x domain suffix; 'ALL' is the
+        # roll-up sentinel (COALESCE on the oracle side)
+        "pages_cube": f"""
+            WITH b AS (
+                SELECT lang,
+                       regexp_extract(
+                           regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                           '\\.([a-z]+)$', 1) AS tld
+                  FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')
+            )
+            SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(tld, 'ALL') AS tld,
+                   CAST(count(*) AS BIGINT) AS n_pages
+              FROM b GROUP BY GROUPING SETS ((lang, tld), (lang), (tld), ())
+        """,
         # grid-DBSCAN: core cells (count >= minpts), 8-neighbor
         # adjacency (lon wraps, lat clips implicitly — only existing
         # cells join), transitive closure, min-id cluster labels —

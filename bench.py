@@ -187,6 +187,11 @@ def run_bench() -> dict:
 
         return grid_dbscan(sf_dir, minpts=10).count()
 
+    def cube():
+        from rios_ray.pipelines.pages import pages_cube
+
+        return pages_cube(sf_dir).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -252,6 +257,7 @@ def run_bench() -> dict:
         "events_rolling": rolling,
         "kmeans_assign": kmeans,
         "grid_dbscan": dbscan,
+        "pages_cube": cube,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

@@ -409,3 +409,54 @@ def host_char_share(sf_dir: str) -> ray.data.Dataset:
         })
 
     return hash_partitioned_groups(ds, ["host"], share)
+
+
+def pages_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUPING SETS cube over the crawl mix: page counts for
+    ((lang, tld), (lang), (tld), ()) with 'ALL' as the roll-up
+    sentinel — the multi-level report query (language x domain-suffix
+    mix) in ONE pass.
+
+    Scale shape: the scan aggregates only the FINEST level
+    (combiner-first; lang x tld cardinality is bounded by the crawl's
+    language list x suffix list, not rows), and every coarser grouping
+    set is derived from that small table in a single final task — the
+    cell_rollup parents-from-children move applied to categorical
+    dimensions, so the cube costs one exchange of finest-level partials
+    no matter how many grouping sets it reports.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+
+    def lang_tld(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(pc.extract_regex(b["url"], HOST_RE), "host")
+        tld = pc.struct_field(
+            pc.extract_regex(host, r"\.(?P<tld>[a-z]+)$"), "tld"
+        )
+        return pa.table({"lang": b["lang"], "tld": tld})
+
+    ds = read_pages(sf_dir, columns=["url", "lang"], bundle_files=True).map_batches(
+        lang_tld, batch_format="pyarrow", zero_copy_batch=True
+    )
+    finest = hash_grouped_aggregate(
+        ds, ["lang", "tld"], [(None, "count", "n_pages")], final_mode="tree"
+    )
+
+    def expand_sets(b: pa.Table) -> pa.Table:
+        all_ = pa.array(["ALL"] * b.num_rows, type=pa.string())
+        lang, tld, n = b["lang"], b["tld"], b["n_pages"]
+        out = pa.concat_tables([
+            pa.table({"lang": lang, "tld": tld, "n_pages": n}),
+            pa.table({"lang": lang, "tld": all_, "n_pages": n}),
+            pa.table({"lang": all_, "tld": tld, "n_pages": n}),
+            pa.table({"lang": all_, "tld": all_, "n_pages": n}),
+        ])
+        g = out.group_by(["lang", "tld"]).aggregate([("n_pages", "sum")])
+        return g.rename_columns(["lang", "tld", "n_pages"])
+
+    # finest is one block (tree final): the cube expansion is one task
+    return finest.map_batches(
+        expand_sets, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
