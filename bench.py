@@ -192,6 +192,11 @@ def run_bench() -> dict:
 
         return pages_cube(sf_dir).count()
 
+    def lm_cov():
+        from rios_ray.pipelines.text import doc_bigram_coverage
+
+        return doc_bigram_coverage(sf_dir, min_count=5).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -258,6 +263,7 @@ def run_bench() -> dict:
         "kmeans_assign": kmeans,
         "grid_dbscan": dbscan,
         "pages_cube": cube,
+        "doc_bigram_coverage": lm_cov,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

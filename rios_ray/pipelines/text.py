@@ -792,3 +792,82 @@ def bigram_lm(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
         finish, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
+
+
+def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """Per-document bigram-LM coverage: (doc_id, n_bigrams, n_known,
+    coverage) where a bigram is KNOWN when the corpus-level LM table
+    (:func:`bigram_lm`) holds it with pair_n >= ``min_count`` — the
+    out-of-vocabulary-rate fluency filter (the integer-exact core of a
+    CCNet-style perplexity gate: rare-bigram documents are the ones a
+    real LM scores as high-perplexity).
+
+    Model-broadcast scoring shape: the LM table is the small side
+    (bounded by observed bigram types above the count floor), shipped
+    once via the strategy join's broadcast path (falls back to the
+    partitioned exchange past the cap); the document scan streams.
+    coverage = n_known / n_bigrams is one exact-int division, so the
+    comparison is bitwise.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.agg import hash_grouped_aggregate
+
+    lm = bigram_lm(sf_dir, min_count=min_count).materialize()
+    # broadcast the known-pair KEYS once: u64 mix of (w1, w2) FNV hashes
+    # (the same 8-byte-per-gram trick the gram dedup exchange uses)
+    from ..dedup.hashing import fnv1a64_arrow
+
+    def pair_key(w1_arr, w2_arr) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return fnv1a64_arrow(w1_arr) * np.uint64(0x9E3779B97F4A7C15) ^ fnv1a64_arrow(w2_arr)
+
+    import ray as _ray
+
+    def lm_keys() -> np.ndarray:
+        parts = [
+            pair_key(t["w1"], t["w2"])
+            for t in _ray.get(lm.to_arrow_refs())
+            if t.num_rows
+        ]
+        keys = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+        return np.sort(keys)
+
+    kref = _ray.put(lm_keys())
+
+    def score(b: pa.Table) -> pa.Table:
+        known_sorted = _ray.get(kref)
+        df = b.to_pandas()
+        tok = df["text"].str.split(" ")
+        lens = tok.str.len().to_numpy().astype(np.int64)
+        doc_ids = df["doc_id"].to_numpy()
+        n_bi = np.maximum(lens - 1, 0)
+        if lens.sum() == 0:
+            known = np.zeros(len(df), dtype=np.int64)
+        else:
+            flat = np.concatenate(tok.to_numpy())
+            keep = np.ones(len(flat), dtype=bool)
+            keep[np.cumsum(lens) - 1] = False
+            idx = np.flatnonzero(keep)
+            w1 = pa.array(flat[idx], type=pa.string())
+            w2 = pa.array(flat[idx + 1], type=pa.string())
+            keys = pair_key(w1, w2)
+            pos = np.searchsorted(known_sorted, keys)
+            pos = np.minimum(pos, max(len(known_sorted) - 1, 0))
+            hit = (known_sorted[pos] == keys) if len(known_sorted) else np.zeros(len(keys), bool)
+            doc_of = np.repeat(np.arange(len(df)), n_bi)
+            known = np.bincount(doc_of[hit], minlength=len(df)).astype(np.int64)
+        cov = np.divide(known, n_bi, out=np.zeros(len(df)), where=n_bi > 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_bigrams": pa.array(n_bi),
+            "n_known": pa.array(known),
+            "coverage": pa.array(cov),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )

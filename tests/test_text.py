@@ -511,3 +511,37 @@ def test_bigram_lm_vs_duckdb(ray_session, con):
         got["pair_n"].to_numpy().astype(np.float64)
         / got["w1_n"].to_numpy().astype(np.float64),
     )
+
+
+def test_doc_bigram_coverage_vs_duckdb(ray_session, con):
+    from rios_ray.pipelines.text import doc_bigram_coverage
+
+    got = (
+        doc_bigram_coverage(SF, min_count=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = con.sql("""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs),
+        t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i FROM s),
+        bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                 FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        lm AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS n
+                                     FROM bg GROUP BY 1, 2) WHERE n >= 5),
+        sc AS (SELECT bg.doc_id, count(*) AS n_bigrams, count(lm.w1) AS n_known
+                 FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+                GROUP BY 1)
+        SELECT doc_id, n_bigrams, n_known FROM sc ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_bigrams"].tolist() == want["n_bigrams"].tolist()
+    assert got["n_known"].tolist() == want["n_known"].tolist()
+    # coverage is the exact int division, and known <= total everywhere
+    import numpy as np
+    np.testing.assert_array_equal(
+        got["coverage"].to_numpy(),
+        np.divide(got["n_known"], got["n_bigrams"],
+                  out=np.zeros(len(got)), where=got["n_bigrams"] > 0),
+    )
+    assert (got["n_known"] <= got["n_bigrams"]).all()
