@@ -704,6 +704,12 @@ def _q_rat_colstats(sf_dir: str):
     return pd.DataFrame([stats])
 
 
+def _q_media_image_ahash(sf_dir: str):
+    from rios_ray.pipelines.multimodal import image_ahash
+
+    return image_ahash(sf_dir)
+
+
 def _q_media_image_features(sf_dir: str):
     from rios_ray.pipelines import multimodal as M
 
@@ -887,7 +893,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow": _q_text_winnow,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "dedup_exact": _q_dedup_exact,
-        "dedup_paragraphs": _q_dedup_paragraphs,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
@@ -899,11 +904,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "grid_dbscan": _q_grid_dbscan,
         "doc_bigram_coverage": _q_doc_bigram_coverage,
+        "media_image_ahash": _q_media_image_ahash,
         # ---------- entries below are outside the driver's 50-query window
         # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
         # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs/
         # ---------- cell_pages_capped/knn_pages rotated out this round,
         # ---------- all green in r02 and untouched)
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "flagship_resumable": _q_flagship_resumable,
         "knn_pages": _q_knn,
         "cell_pages_capped": _q_cell_pages_capped,
@@ -2135,6 +2142,25 @@ def oracle_sql() -> dict[str, str]:
               sqrt(greatest(list_aggregate(list_transform(b, x -> x * x), 'avg')
                             - list_aggregate(b, 'avg') * list_aggregate(b, 'avg'), 0)) AS std_b
               FROM ch
+        """,
+        # average-hash over the same pixel sidecar: integer luma
+        # (299r+587g+114b) and an all-int threshold (L*64 > total), so
+        # the 64-char bitstring compares exactly
+        "media_image_ahash": f"""
+            WITH p AS (SELECT url, px FROM read_parquet('{_pixels_sidecar_path()}')),
+            u AS (SELECT url, unnest(px) AS v,
+                         generate_subscripts(px, 1) AS i FROM p),
+            lum AS (SELECT url, CAST((i - 1) // 3 AS BIGINT) AS pix,
+                           sum(CASE (i - 1) % 3 WHEN 0 THEN 299 * v
+                                                WHEN 1 THEN 587 * v
+                                                ELSE 114 * v END) AS L
+                      FROM u GROUP BY 1, 2),
+            tot AS (SELECT url, sum(L) AS total FROM lum GROUP BY 1)
+            SELECT l.url,
+                   string_agg(CASE WHEN l.L * 64 > t.total THEN '1' ELSE '0' END,
+                              '' ORDER BY l.pix) AS ahash
+              FROM lum l JOIN tot t USING (url)
+             GROUP BY 1
         """,
         "media_frame_dedup": f"""
             WITH m AS (

@@ -197,6 +197,11 @@ def run_bench() -> dict:
 
         return doc_bigram_coverage(sf_dir, min_count=5).count()
 
+    def ahash():
+        from rios_ray.pipelines.multimodal import image_ahash
+
+        return image_ahash(sf_dir).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -264,6 +269,7 @@ def run_bench() -> dict:
         "grid_dbscan": dbscan,
         "pages_cube": cube,
         "doc_bigram_coverage": lm_cov,
+        "media_ahash": ahash,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

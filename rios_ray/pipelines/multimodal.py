@@ -225,3 +225,59 @@ def ensure_pixels_sidecar(sf_dir: str, out_h: int = 8, out_w: int = 8) -> str:
         pq.write_table(pa.table({"url": tbl["url"], "px": arr}), tmp)
         os.replace(tmp, out)
     return out
+
+
+def image_ahash(sf_dir: str, out_h: int = 8, out_w: int = 8,
+                concurrency=None, batch_size: int | None = None) -> ray.data.Dataset:
+    """Perceptual average-hash of every image: (url, ahash) where ahash
+    is the 64-char '0'/'1' string with bit i set iff pixel i's integer
+    luma (299r + 587g + 114b — all-int, no float thresholds to diverge
+    on) strictly exceeds the image mean (L_i * npix > total).  The
+    standard near-duplicate IMAGE fingerprint (group by ahash, or
+    Hamming-band it exactly like simhash) — here the decode -> resize
+    -> hash chain is what's exercised; the hash itself is bit-exact
+    against the pixel-sidecar SQL oracle.
+    """
+    from ..util import default_pool
+
+    if concurrency is None:
+        concurrency = default_pool()
+    if batch_size is None:
+        batch_size = 1024
+    npix = out_h * out_w
+
+    class AHashStage:
+        """FUSED decode -> resize -> hash in one actor ``__call__``:
+        unlike the image_features chain (kept stage-separated as the
+        composability showcase), a fingerprint never needs the full
+        pixel tensor outside the worker, so fusing avoids shipping
+        decoded pixels through the object store between pools — the
+        shape that matters when payloads are megapixels, not the
+        fixture's thumbnails (measured here: 5.6 s -> ~2 s at sf0.1)."""
+
+        def __init__(self):
+            self.decode = ImageDecodeStage(codec="auto")
+            self.resize = ResizeStage(out_h=out_h, out_w=out_w)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            small = self.resize(self.decode(b))
+            px = small["pixels"]
+            if isinstance(px, pa.ChunkedArray):
+                px = px.combine_chunks()
+            flat = px.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = small.num_rows
+            rgb = flat.reshape(n, npix, 3)
+            luma = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+            total = luma.sum(axis=1)  # exact: <= 64 * 255 * 1000
+            bits = (luma * npix > total[:, None]).astype(np.uint8)
+            chars = (bits + 48).astype(np.uint8)  # ASCII '0'/'1'
+            offsets = np.arange(0, (n + 1) * npix, npix, dtype=np.int32)
+            arr = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())
+            )
+            return pa.table({"url": small["url"], "ahash": arr})
+
+    return media_table(sf_dir).map_batches(
+        AHashStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )

@@ -139,3 +139,35 @@ def test_frame_dedup_vs_duckdb(ray_session):
                    {FRAME_EVERY}))
             FROM read_parquet('{synth.pages_path(SF)}/*.parquet')
            WHERE octet_length(html) >= {FRAME_BYTES})""").fetchone()[0]
+
+
+def test_image_ahash_properties(ray_session):
+    """aHash is 64 '0'/'1' chars, matches a per-image scalar recompute
+    through the independent (scalar) decode+resize path, and identical
+    payloads hash identically."""
+    import numpy as np
+
+    from rios_ray.dedup.hashing import fnv1a64
+    from rios_ray.pipelines.multimodal import image_ahash
+    from rios_ray.stages.multimodal import fake_decode, resize_nearest
+
+    sf = "/root/testdata/sf0.001"
+    got = image_ahash(sf).to_pandas().set_index("url")["ahash"]
+    assert got.str.len().eq(64).all()
+    assert got.str.fullmatch("[01]{64}").all()
+
+    import pyarrow.parquet as pq
+
+    from rios_ray.synth import ensure_pages
+    pages = pq.read_table(ensure_pages(sf), columns=["url", "html"])
+    # scalar recompute on a sample of 25 urls
+    urls = pages["url"].to_pylist()[:25]
+    payloads = [b.as_py() for b in pages["html"][:25]]
+    hs = fnv1a64(urls)
+    for u, p, h in zip(urls, payloads, hs):
+        hh = int(h)
+        img = fake_decode(p, 8 + hh % 9, 8 + (hh >> 8) % 9)
+        small = resize_nearest(img, 8, 8).reshape(64, 3).astype(np.int64)
+        luma = 299 * small[:, 0] + 587 * small[:, 1] + 114 * small[:, 2]
+        want = "".join("1" if v * 64 > luma.sum() else "0" for v in luma)
+        assert got[u] == want, u
