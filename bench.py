@@ -202,6 +202,11 @@ def run_bench() -> dict:
 
         return image_ahash(sf_dir).count()
 
+    def q_sketch():
+        from rios_ray.pipelines.events import value_quantiles_sketch
+
+        return value_quantiles_sketch(sf_dir).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -270,6 +275,7 @@ def run_bench() -> dict:
         "pages_cube": cube,
         "doc_bigram_coverage": lm_cov,
         "media_ahash": ahash,
+        "events_quantiles_sketch": q_sketch,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

@@ -255,3 +255,92 @@ def grouped_quantiles(ds, key: str, value_col: str, qs: list[float],
         })
 
     return hash_partitioned_groups(ds, [key], per_partition, num_partitions)
+
+
+def grouped_quantiles_sketch(ds, key: str, value_col: str, qs: list[float],
+                             capacity: int = 4096, id_col: str | None = None,
+                             num_partitions: int | None = None):
+    """Approximate per-group quantiles via a MERGEABLE bottom-k sample.
+
+    Each row gets a u64 hash priority from ``id_col`` (unique per row);
+    a group's sketch is its ``capacity`` lowest-priority rows.  Bottom-k
+    is closed under merge (min-k of a union = min-k over the parts'
+    min-ks), so per-batch partials cap the exchange at
+    ``capacity x groups x batches`` rows REGARDLESS of group size — the
+    quantile analogue of the HLL distinct sketch, for when
+    ``grouped_quantiles``'s full-value exchange is the bottleneck.
+
+    The sample is uniform-without-replacement, so the q-quantile
+    estimate is the sample's own ``ceil(q*c)-1`` order statistic
+    (rank error O(n/sqrt(c)) whp).  When ``capacity >= n`` for every
+    group the sample IS the group and the result equals
+    :func:`grouped_quantiles` exactly — the provably-exact
+    configuration the driver oracle gates (the IVF nprobe=nlist move).
+
+    Output (key, q, value), one row per group per q.
+    """
+    qs_arr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def _priorities(col) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+    def _codes(kcol) -> np.ndarray:
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+        if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+            return kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        return kcol.to_numpy(zero_copy_only=False)
+
+    def _bottom_k(tbl: pa.Table) -> pa.Table:
+        """Keep each group's ``capacity`` lowest-priority rows."""
+        codes = _codes(tbl[key])
+        prio = tbl["_prio"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((prio, codes))
+        codes_s = codes[order]
+        new = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(codes_s)))
+        rank = np.arange(len(codes_s)) - np.repeat(starts, sizes)
+        keep = order[rank < capacity]
+        return tbl.take(pa.array(np.sort(keep)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key: b[key],
+            "_prio": pa.array(_priorities(b[id_col])),
+            "value": b[value_col],
+        })
+        return _bottom_k(t)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({key: tbl[key], "q": pa.array([], type=pa.float64()),
+                             "value": pa.array([], type=pa.float64())})
+        tbl = _bottom_k(tbl)  # merge: min-k over the union of partials
+        tbl = tbl.sort_by([(key, "ascending"), ("value", "ascending")])
+        kcol = tbl[key].combine_chunks()
+        codes = _codes(kcol)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]])
+        starts = np.flatnonzero(new)
+        n_g = np.diff(np.append(starts, len(codes)))
+        vals = tbl["value"].to_numpy(zero_copy_only=False)
+        pick = np.ceil(qs_arr[None, :] * n_g[:, None]).astype(np.int64) - 1
+        pick = np.clip(pick, 0, (n_g - 1)[:, None])
+        rows = (starts[:, None] + pick).ravel()
+        import pyarrow.compute as pc
+
+        out_keys = pc.take(kcol, pa.array(np.repeat(starts, len(qs_arr))))
+        return pa.table({
+            key: out_keys,
+            "q": pa.array(np.tile(qs_arr, len(starts))),
+            "value": pa.array(vals[rows], type=pa.float64()),
+        })
+
+    return hash_partitioned_groups(partials, [key], finish, num_partitions)

@@ -888,3 +888,22 @@ def rolling_extrema(sf_dir: str, k: int = 5) -> ray.data.Dataset:
         })
 
     return hash_partitioned_groups(ds, ["user_id"], roll)
+
+
+def value_quantiles_sketch(
+    sf_dir: str, qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    capacity: int = 100_000,
+) -> ray.data.Dataset:
+    """Per-event-type value quantiles from the mergeable bottom-k
+    sketch (``functions.agg.grouped_quantiles_sketch``).  The default
+    capacity exceeds every fixture group, so the driver-gated result is
+    EXACT (same oracle as the full-exchange ``value_quantiles_per_type``);
+    shrink ``capacity`` on real data to bound the exchange at
+    capacity x groups x batches rows."""
+    from ..functions.agg import grouped_quantiles_sketch
+
+    ds = read_events(sf_dir, columns=["event_id", "event_type", "value"])
+    return grouped_quantiles_sketch(
+        ds, "event_type", "value", list(qs), capacity=capacity,
+        id_col="event_id",
+    )

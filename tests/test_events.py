@@ -352,3 +352,49 @@ def test_rolling_extrema_vs_duckdb(ray_session, con):
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["roll_max"].tolist() == want["roll_max"].tolist()
     assert got["roll_min"].tolist() == want["roll_min"].tolist()
+
+
+def test_quantiles_sketch_exact_and_approximate(ray_session):
+    """capacity >= group size -> sketch output EQUALS the exact grouped
+    quantiles; a small capacity on a large synthetic group estimates
+    every quantile within the O(n/sqrt(c)) rank bound."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.agg import grouped_quantiles, grouped_quantiles_sketch
+    from rios_ray.pipelines.events import (
+        value_quantiles_per_type,
+        value_quantiles_sketch,
+    )
+
+    exact = (
+        value_quantiles_per_type(SF)
+        .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    )
+    sk = (
+        value_quantiles_sketch(SF)  # default capacity >= every group
+        .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    )
+    assert sk.equals(exact)
+
+    # approximate configuration: one 20k-value group, capacity 512
+    rng = np.random.default_rng(5)
+    n, c = 20_000, 512
+    vals = np.sort(rng.normal(0, 100, n))
+    t = pa.table({
+        "k": pa.array(["g"] * n),
+        "v": pa.array(vals[rng.permutation(n)]),
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    qs = [0.1, 0.5, 0.9]
+    got = (
+        grouped_quantiles_sketch(
+            ray.data.from_arrow(t).repartition(8), "k", "v", qs,
+            capacity=c, id_col="rid", num_partitions=4,
+        )
+        .to_pandas().sort_values("q").reset_index(drop=True)
+    )
+    for q, est in zip(got["q"], got["value"]):
+        true_rank = np.searchsorted(vals, est) / n
+        assert abs(true_rank - q) < 5.0 / np.sqrt(c), (q, true_rank)
