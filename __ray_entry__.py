@@ -174,6 +174,11 @@ def _s2_cells_sql(level: int = 12, sf_dir: str = SF001) -> str:
     """
 
 
+def _polys_path() -> str:
+    ppath, _ = synth.ensure_polygons()
+    return ppath
+
+
 def _pip_pairs_sql(sf_dir: str = SF001) -> str:
     """(url, lat, lon, poly_id) containment pairs by odd ray-crossing count.
 
@@ -504,6 +509,18 @@ def _q_pages_cube(sf_dir: str):
     from rios_ray.pipelines.pages import pages_cube
 
     return pages_cube(sf_dir)
+
+
+def _q_pip_join_left(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import pip_join_left
+
+    return pip_join_left(sf_dir)
+
+
+def _q_events_value_deltas(sf_dir: str):
+    from rios_ray.pipelines.events import value_deltas
+
+    return value_deltas(sf_dir)
 
 
 def _q_grid_dbscan(sf_dir: str):
@@ -867,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
+        "events_value_deltas": _q_events_value_deltas,
         "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
         "events_retention": _q_events_retention,
@@ -900,10 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_cell_category": _q_flagship,
         "pages_cube": _q_pages_cube,
         "knn_pages_cellring": _q_knn_cellring,
-        "text_winnow": _q_text_winnow,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_minhash_clusters": _q_dedup_clusters,
         # --- (c) new this round ---
@@ -912,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_extrema": _q_events_rolling_extrema,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "grid_dbscan": _q_grid_dbscan,
+        "pip_join_left": _q_pip_join_left,
         "doc_bigram_coverage": _q_doc_bigram_coverage,
         "media_image_ahash": _q_media_image_ahash,
         # ---------- entries below are outside the driver's 50-query window
@@ -923,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- too — its only round-3 change (dup_corpus single-read
         # ---------- injection) is witnessed by the in-window dedup_exact/
         # ---------- jaccard/minhash siblings sharing that reader)
+        "text_winnow": _q_text_winnow,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "flagship_resumable": _q_flagship_resumable,
@@ -1817,6 +1836,14 @@ def _events_oracle_sql() -> dict[str, str]:
                    CAST(sum(cv) AS BIGINT) AS n_converted
               FROM conv GROUP BY 1
         """,
+        # LAG delta; first event per user is value - COALESCE(lag, value)
+        # = 0.0, keeping the output NULL-free for the bitwise compare
+        "events_value_deltas": """
+            SELECT event_id, user_id,
+                   value - COALESCE(lag(value) OVER w, value) AS delta
+              FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "events_quantiles_sketch": """
             WITH g AS (
                 SELECT event_type,
@@ -2117,6 +2144,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
               FROM j JOIN read_parquet('{ppath}') pg USING (poly_id)
              GROUP BY 1, 2
+        """,
+        # LEFT OUTER PIP join: pages with no containing polygon emit one
+        # ('none') row (the nodata-fill semantics of the inner join)
+        "pip_join_left": f"""
+            WITH pairs AS ({_pip_pairs_sql()}),
+            cat AS (SELECT pr.url, po.category
+                      FROM pairs pr
+                      JOIN read_parquet('{_polys_path()}') po USING (poly_id)),
+            pts AS ({_pages_sql()})
+            SELECT p.url, COALESCE(c.category, 'none') AS category
+              FROM pts p LEFT JOIN cat c ON p.url = c.url
         """,
         "pip_join_counts": f"""
             SELECT c.poly_id, p.category, count(*) AS n_pages

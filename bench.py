@@ -207,6 +207,16 @@ def run_bench() -> dict:
 
         return value_quantiles_sketch(sf_dir).count()
 
+    def deltas():
+        from rios_ray.pipelines.events import value_deltas
+
+        return value_deltas(sf_dir).count()
+
+    def pip_left():
+        from rios_ray.pipelines.spatial_ops import pip_join_left
+
+        return pip_join_left(sf_dir).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -276,6 +286,8 @@ def run_bench() -> dict:
         "doc_bigram_coverage": lm_cov,
         "media_ahash": ahash,
         "events_quantiles_sketch": q_sketch,
+        "events_deltas": deltas,
+        "pip_join_left": pip_left,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

@@ -907,3 +907,50 @@ def value_quantiles_sketch(
         ds, "event_type", "value", list(qs), capacity=capacity,
         id_col="event_id",
     )
+
+
+def value_deltas(sf_dir: str) -> ray.data.Dataset:
+    """Per-user LAG window: (event_id, user_id, delta) with delta =
+    value - previous value in (ts, event_id) order; a user's first
+    event gets delta 0.0 (value - COALESCE(lag, value) — keeps the
+    output NULL-free so the engine/oracle float compare stays bitwise:
+    subtraction of two stored doubles is exact IEEE in both engines).
+
+    Same shape as rolling_extrema: one user-keyed exchange, one
+    composite Arrow sort, a single boundary-masked shifted subtract.
+    """
+    from ..functions.agg import hash_partitioned_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "e": pa.array(_epoch_us(b)),
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "value": b["value"],
+        })
+
+    ds = read_events(sf_dir, columns=["ts", "user_id", "event_id", "value"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+    def lagdiff(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "delta": pa.array([], type=pa.float64())})
+        tbl = tbl.sort_by([
+            ("user_id", "ascending"), ("e", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        val = tbl["value"].to_numpy(zero_copy_only=False)
+        delta = np.zeros(len(val), dtype=np.float64)
+        same = uid[1:] == uid[:-1]
+        delta[1:][same] = val[1:][same] - val[:-1][same]
+        return pa.table({
+            "event_id": tbl["event_id"],
+            "user_id": tbl["user_id"],
+            "delta": pa.array(delta),
+        })
+
+    return hash_partitioned_groups(ds, ["user_id"], lagdiff)

@@ -441,3 +441,21 @@ def grid_dbscan(sf_dir: str, minpts: int = 10,
         [("cell", pa.int64()), ("n_pages", pa.int64())],
         [("cluster_id", pa.int64(), "cluster_id")],
     )
+
+
+def pip_join_left(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER point-in-polygon join: every page emits (url,
+    category) per containing polygon, or one ('none') row when no
+    polygon contains it — the vector-join analogue of the reference's
+    nodata fill for out-of-extent reads (imagereader.py:102-121).
+    Same broadcast-index shape as the inner join; the outer rows cost
+    one setdiff per batch, no extra exchange."""
+    from .pages import geocoded_pages
+
+    ppath, _ = synth.ensure_polygons()
+    polys_ref = ray.put(pq.read_table(ppath))
+    ds = geocoded_pages(sf_dir, keep_text=False, families=("grid",))
+    return ds.map_batches(
+        pip_join_fn(polys_ref, keep_cols=["url"], outer=True),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE,
+    ).select_columns(["url", "category"])

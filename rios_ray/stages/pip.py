@@ -25,14 +25,21 @@ from ..spatial import DEFAULT_INDEX_RES, PolygonIndex
 
 
 class PIPJoinStage:
-    """Inner point-in-polygon join: emits one output row per (point,
-    containing polygon) pair, appending poly_id / category / burn_value."""
+    """Point-in-polygon join: emits one output row per (point,
+    containing polygon) pair, appending poly_id / category / burn_value.
+
+    ``outer=True`` makes it a LEFT OUTER join: points contained by no
+    polygon still emit one row, with sentinel attributes (poly_id -1,
+    category 'none', burn_value 0) — the nodata-fill semantics of the
+    reference's out-of-extent reads (imagereader.py:102-121) applied to
+    the vector join."""
 
     def __init__(
         self,
         polygons,
         index_res: int = DEFAULT_INDEX_RES,
         keep_cols: list[str] | None = None,
+        outer: bool = False,
     ):
         import ray
 
@@ -49,17 +56,36 @@ class PIPJoinStage:
         self._cat_sorted = np.asarray(polys["category"].to_pylist(), dtype=object)[order]
         self._burn_sorted = polys["burn_value"].to_numpy(zero_copy_only=False).astype(np.int32)[order]
         self.keep_cols = keep_cols
+        self.outer = outer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         rows, polys = self.index.contains(lon, lat)
+        pos = np.searchsorted(self._ids_sorted, polys)
+        poly_ids = np.asarray(polys, dtype=np.int64)
+        cats = self._cat_sorted[pos]
+        burns = self._burn_sorted[pos]
+        if self.outer:
+            unmatched = np.setdiff1d(
+                np.arange(batch.num_rows, dtype=np.int64),
+                np.asarray(rows, dtype=np.int64),
+            )
+            rows = np.concatenate([np.asarray(rows, dtype=np.int64), unmatched])
+            poly_ids = np.concatenate(
+                [poly_ids, np.full(len(unmatched), -1, dtype=np.int64)]
+            )
+            cats = np.concatenate(
+                [cats, np.full(len(unmatched), "none", dtype=object)]
+            )
+            burns = np.concatenate(
+                [burns, np.zeros(len(unmatched), dtype=np.int32)]
+            )
         cols = self.keep_cols or [c for c in batch.column_names]
         out = batch.select(cols).take(pa.array(rows))
-        pos = np.searchsorted(self._ids_sorted, polys)
-        out = out.append_column("poly_id", pa.array(polys, type=pa.int64()))
-        out = out.append_column("category", pa.array(self._cat_sorted[pos], type=pa.string()))
-        out = out.append_column("burn_value", pa.array(self._burn_sorted[pos], type=pa.int32()))
+        out = out.append_column("poly_id", pa.array(poly_ids, type=pa.int64()))
+        out = out.append_column("category", pa.array(cats, type=pa.string()))
+        out = out.append_column("burn_value", pa.array(burns, type=pa.int32()))
         return out
 
 
@@ -67,7 +93,7 @@ _STAGE_CACHE: dict = {}
 
 
 def pip_join_fn(polygons, index_res: int = DEFAULT_INDEX_RES,
-                keep_cols: list[str] | None = None):
+                keep_cols: list[str] | None = None, outer: bool = False):
     """Task-pool variant of :class:`PIPJoinStage` with a per-worker-
     process index cache.
 
@@ -80,12 +106,12 @@ def pip_join_fn(polygons, index_res: int = DEFAULT_INDEX_RES,
     pool spin-up.  The closure ships only the tiny ObjectRef.
     """
     key = ("pip", getattr(polygons, "hex", None) or str(polygons), index_res,
-           tuple(keep_cols or ()))
+           tuple(keep_cols or ()), outer)
 
     def fn(batch: pa.Table) -> pa.Table:
         stage = _STAGE_CACHE.get(key)
         if stage is None:
-            stage = PIPJoinStage(polygons, index_res, keep_cols)
+            stage = PIPJoinStage(polygons, index_res, keep_cols, outer)
             _STAGE_CACHE[key] = stage
         return stage(batch)
 

@@ -398,3 +398,23 @@ def test_quantiles_sketch_exact_and_approximate(ray_session):
     for q, est in zip(got["q"], got["value"]):
         true_rank = np.searchsorted(vals, est) / n
         assert abs(true_rank - q) < 5.0 / np.sqrt(c), (q, true_rank)
+
+
+def test_value_deltas_vs_duckdb(ray_session, con):
+    """LAG-window delta == DuckDB, bitwise (subtraction of stored
+    doubles; first event per user pinned to exactly 0.0)."""
+    got = (
+        E.value_deltas(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.sql("""
+        SELECT event_id,
+               value - COALESCE(lag(value) OVER w, value) AS delta
+          FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id
+    """).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["delta"].tolist() == want["delta"].tolist()

@@ -372,3 +372,26 @@ def test_grid_dbscan_vs_unionfind(ray_session):
         c: counts[c] for c in core
     }
     assert len(core) > 0
+
+
+def test_pip_join_left_vs_inner(ray_session):
+    """LEFT OUTER PIP = inner pairs + exactly one 'none' row per
+    unmatched page; total rows = matched pairs + unmatched pages."""
+    from rios_ray.pipelines.pages import spatial_join
+    from rios_ray.pipelines.spatial_ops import pip_join_left
+
+    sf = "/root/testdata/sf0.001"
+    inner = spatial_join(sf).to_pandas()
+    left = pip_join_left(sf).to_pandas()
+    matched_urls = set(inner["url"])
+    none_rows = left[left["category"] == "none"]
+    # no inner-matched url appears as 'none', every other page does once
+    assert set(none_rows["url"]).isdisjoint(matched_urls)
+    import collections
+    assert max(collections.Counter(none_rows["url"]).values(), default=1) == 1
+    assert len(left) == len(inner) + len(none_rows)
+    # the matched part agrees with the inner join (url x category bags)
+    a = sorted(zip(inner["url"], inner["category"]))
+    b = sorted(zip(left[left["category"] != "none"]["url"],
+                   left[left["category"] != "none"]["category"]))
+    assert a == b
