@@ -511,6 +511,15 @@ def _q_pages_cube(sf_dir: str):
     return pages_cube(sf_dir)
 
 
+def _q_host_crawl_sessions(sf_dir: str):
+    from rios_ray.pipelines.pages import host_crawl_sessions
+
+    # 20-day gap: the fixture's per-host revisit spacing straddles it
+    # (60k pages -> 36.6k sessions at sf0.01), so the gap cumsum and
+    # per-host ordinals are non-trivially exercised
+    return host_crawl_sessions(sf_dir, gap_us=20 * 86_400 * 1_000_000)
+
+
 def _q_pip_join_left(sf_dir: str):
     from rios_ray.pipelines.spatial_ops import pip_join_left
 
@@ -921,7 +930,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
-        "dedup_minhash_clusters": _q_dedup_clusters,
         # --- (c) new this round ---
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bigram_lm": _q_bigram_lm,
@@ -929,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "grid_dbscan": _q_grid_dbscan,
         "pip_join_left": _q_pip_join_left,
+        "host_crawl_sessions": _q_host_crawl_sessions,
         "doc_bigram_coverage": _q_doc_bigram_coverage,
         "media_image_ahash": _q_media_image_ahash,
         # ---------- entries below are outside the driver's 50-query window
@@ -940,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- too — its only round-3 change (dup_corpus single-read
         # ---------- injection) is witnessed by the in-window dedup_exact/
         # ---------- jaccard/minhash siblings sharing that reader)
+        "dedup_minhash_clusters": _q_dedup_clusters,
         "text_winnow": _q_text_winnow,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -2144,6 +2154,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
               FROM j JOIN read_parquet('{ppath}') pg USING (poly_id)
              GROUP BY 1, 2
+        """,
+        # crawl sessionization over warc_ts (events_sessions lifted to a
+        # string key on the pages table)
+        "host_crawl_sessions": f"""
+            WITH p AS (
+                SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                       epoch_us(warc_ts) AS e
+                  FROM read_parquet('{synth.pages_path(SF001)}/*.parquet')),
+            marked AS (
+                SELECT host, e,
+                       CASE WHEN lag(e) OVER w IS NULL
+                             OR e - lag(e) OVER w > 1728000000000
+                            THEN 1 ELSE 0 END AS new_sess
+                  FROM p WINDOW w AS (PARTITION BY host ORDER BY e)),
+            sess AS (
+                SELECT host, e,
+                       CAST(sum(new_sess) OVER (PARTITION BY host ORDER BY e)
+                            AS BIGINT) - 1 AS session_id
+                  FROM marked)
+            SELECT host, session_id, count(*) AS n_pages,
+                   min(e) AS t_start, max(e) AS t_end
+              FROM sess GROUP BY host, session_id
         """,
         # LEFT OUTER PIP join: pages with no containing polygon emit one
         # ('none') row (the nodata-fill semantics of the inner join)

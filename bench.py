@@ -217,6 +217,11 @@ def run_bench() -> dict:
 
         return pip_join_left(sf_dir).count()
 
+    def crawl_sessions():
+        from rios_ray.pipelines.pages import host_crawl_sessions
+
+        return host_crawl_sessions(sf_dir, gap_us=20 * 86_400 * 1_000_000).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -288,6 +293,7 @@ def run_bench() -> dict:
         "events_quantiles_sketch": q_sketch,
         "events_deltas": deltas,
         "pip_join_left": pip_left,
+        "host_crawl_sessions": crawl_sessions,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

@@ -43,3 +43,42 @@ def test_pages_cube_vs_duckdb(ray_session):
     for lang, grp in fin.groupby("lang"):
         roll = got[(got.lang == lang) & (got.tld == "ALL")]["n_pages"].iloc[0]
         assert grp["n_pages"].sum() == roll
+
+
+def test_host_crawl_sessions_vs_duckdb(ray_session):
+    import duckdb as ddb
+
+    from rios_ray.pipelines.pages import host_crawl_sessions
+
+    gap = 20 * 86_400 * 1_000_000
+    got = (
+        host_crawl_sessions(SF, gap_us=gap)
+        .to_pandas()
+        .sort_values(["host", "session_id"])
+        .reset_index(drop=True)
+    )
+    pages = synth.ensure_pages(SF)
+    want = ddb.sql(f"""
+        WITH p AS (
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   epoch_us(warc_ts) AS e
+              FROM read_parquet('{pages}/*.parquet')),
+        marked AS (
+            SELECT host, e,
+                   CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w > {gap}
+                        THEN 1 ELSE 0 END AS new_sess
+              FROM p WINDOW w AS (PARTITION BY host ORDER BY e)),
+        sess AS (
+            SELECT host, e,
+                   CAST(sum(new_sess) OVER (PARTITION BY host ORDER BY e)
+                        AS BIGINT) - 1 AS session_id
+              FROM marked)
+        SELECT host, session_id, count(*) AS n_pages,
+               min(e) AS t_start, max(e) AS t_end
+          FROM sess GROUP BY host, session_id
+         ORDER BY host, session_id
+    """).df()
+    for c in ("host", "session_id", "n_pages", "t_start", "t_end"):
+        assert got[c].tolist() == want[c].tolist(), c
+    assert (got.groupby("host")["session_id"].min() == 0).all()
+    assert (got["n_pages"] > 1).any()  # gap actually groups on the fixture
