@@ -794,7 +794,8 @@ def bigram_lm(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     )
 
 
-def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+def doc_bigram_coverage(sf_dir: str, min_count: int = 5,
+                        broadcast_cap_keys: int = 50_000_000) -> ray.data.Dataset:
     """Per-document bigram-LM coverage: (doc_id, n_bigrams, n_known,
     coverage) where a bigram is KNOWN when the corpus-level LM table
     (:func:`bigram_lm`) holds it with pair_n >= ``min_count`` — the
@@ -802,12 +803,17 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     CCNet-style perplexity gate: rare-bigram documents are the ones a
     real LM scores as high-perplexity).
 
-    Model-broadcast scoring shape: the LM table is the small side
-    (bounded by observed bigram types above the count floor), shipped
-    once via the strategy join's broadcast path (falls back to the
-    partitioned exchange past the cap); the document scan streams.
+    Model-broadcast scoring shape with an ENFORCED cap (the
+    auto_lookup_join contract): up to ``broadcast_cap_keys`` LM bigram
+    types (u64 keys — 400 MB at the 50M default), the sorted key array
+    ships once via ``ray.put`` and membership is one vectorized
+    searchsorted per batch while the document scan streams.  Past the
+    cap — a 100 TB corpus can hold billions of frequent bigram types —
+    it falls back to the partitioned membership exchange
+    (``partitioned_exists_join`` on the u64 key + per-doc grouped
+    count): same result, no driver/worker array beyond partition size.
     coverage = n_known / n_bigrams is one exact-int division, so the
-    comparison is bitwise.
+    comparison is bitwise either way.
     """
     import numpy as np
     import pandas as pd
@@ -816,8 +822,8 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     from ..functions.agg import hash_grouped_aggregate
 
     lm = bigram_lm(sf_dir, min_count=min_count).materialize()
-    # broadcast the known-pair KEYS once: u64 mix of (w1, w2) FNV hashes
-    # (the same 8-byte-per-gram trick the gram dedup exchange uses)
+    # known-pair KEYS: u64 mix of (w1, w2) FNV hashes (the 8-byte-per-
+    # gram trick of the gram-dedup exchange)
     from ..dedup.hashing import fnv1a64_arrow
 
     def pair_key(w1_arr, w2_arr) -> np.ndarray:
@@ -825,6 +831,9 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
             return fnv1a64_arrow(w1_arr) * np.uint64(0x9E3779B97F4A7C15) ^ fnv1a64_arrow(w2_arr)
 
     import ray as _ray
+
+    if lm.count() > broadcast_cap_keys:
+        return _bigram_coverage_partitioned(sf_dir, lm, pair_key)
 
     def lm_keys() -> np.ndarray:
         parts = [
@@ -870,4 +879,111 @@ def doc_bigram_coverage(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=BATCH_SIZE,
+    )
+
+
+def _bigram_coverage_partitioned(sf_dir: str, lm, pair_key) -> ray.data.Dataset:
+    """Scale fallback for :func:`doc_bigram_coverage`: no broadcast —
+    doc bigrams explode to (doc_id, key) rows, a partitioned EXISTS
+    join against the LM key set keeps the known ones, and two grouped
+    counts rebuild (n_bigrams, n_known) per doc.  Exchange volume is
+    one u64 key row per doc bigram occurrence (16 B/row), partition-
+    bounded memory everywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.agg import hash_grouped_aggregate
+    from ..functions.join import partitioned_exists_join, partitioned_lookup_join
+
+    def explode_keys(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tok = df["text"].str.split(" ")
+        lens = tok.str.len().to_numpy().astype(np.int64)
+        n_bi = np.maximum(lens - 1, 0)
+        if lens.sum() == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "key": pa.array([], type=pa.int64())})
+        flat = np.concatenate(tok.to_numpy())
+        keep = np.ones(len(flat), dtype=bool)
+        keep[np.cumsum(lens) - 1] = False
+        idx = np.flatnonzero(keep)
+        keys = pair_key(pa.array(flat[idx], type=pa.string()),
+                        pa.array(flat[idx + 1], type=pa.string()))
+        doc_of = np.repeat(df["doc_id"].to_numpy(), n_bi)
+        return pa.table({"doc_id": pa.array(doc_of, type=pa.int64()),
+                         "key": pa.array(keys.view(np.int64))})
+
+    def lm_key_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(pair_key(b["w1"], b["w2"]).view(np.int64))})
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    exploded = docs.map_batches(
+        explode_keys, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    ).materialize()  # consumed twice: total count + exists join
+    lm_keys_ds = lm.map_batches(
+        lm_key_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    totals = hash_grouped_aggregate(
+        exploded, ["doc_id"], [(None, "count", "n_bigrams")]
+    )
+    known_rows = partitioned_exists_join(
+        exploded, lm_keys_ds, "key", "key",
+        [("doc_id", pa.int64()), ("key", pa.int64())],
+    )
+    known = hash_grouped_aggregate(
+        known_rows, ["doc_id"], [(None, "count", "n_known")]
+    )
+    # LEFT-join semantics assembled from the inner lookup + two anti
+    # joins: docs with zero KNOWN bigrams are absent from `known`, and
+    # docs with zero bigrams at all are absent from `totals` — both
+    # must still emit a row (the broadcast path and the SQL oracle do)
+    joined = partitioned_lookup_join(
+        totals, known, "doc_id", "doc_id",
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64())],
+        [("n_known", pa.int64(), "n_known")],
+    )
+    no_known = partitioned_exists_join(
+        totals, known, "doc_id", "doc_id",
+        [("doc_id", pa.int64()), ("n_bigrams", pa.int64())],
+        anti=True,
+    )
+
+    def zero_known(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_known", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        )
+
+    no_bigrams = partitioned_exists_join(
+        docs.select_columns(["doc_id"]), totals, "doc_id", "doc_id",
+        [("doc_id", pa.int64())],
+        anti=True,
+    )
+
+    def all_zero(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        return b.append_column("n_bigrams", z).append_column("n_known", z)
+
+    full = joined.union(
+        no_known.map_batches(
+            zero_known, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        no_bigrams.map_batches(
+            all_zero, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_bi = b["n_bigrams"].to_numpy(zero_copy_only=False)
+        kn = b["n_known"].to_numpy(zero_copy_only=False)
+        cov = np.divide(kn, n_bi, out=np.zeros(len(kn)), where=n_bi > 0)
+        return b.append_column("coverage", pa.array(cov))
+
+    return full.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )

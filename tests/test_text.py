@@ -545,3 +545,38 @@ def test_doc_bigram_coverage_vs_duckdb(ray_session, con):
                   out=np.zeros(len(got)), where=got["n_bigrams"] > 0),
     )
     assert (got["n_known"] <= got["n_bigrams"]).all()
+
+
+def test_bigram_coverage_fallback_path_equal(ray_session, tmp_path):
+    """broadcast_cap_keys=0 forces the partitioned membership fallback;
+    it must equal the broadcast path exactly, including zero-bigram and
+    all-unknown documents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqm
+
+    from rios_ray.pipelines.text import doc_bigram_coverage
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "common pair common pair common pair common pair common pair",
+            "one",                                          # zero bigrams
+            "totally unique words here never repeated",      # all unknown
+            "common pair common pair common pair common pair again",
+        ]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["t"] * 4),
+        "n_chars": pa.array([10] * 4, type=pa.int64()),
+    })
+    sf = str(tmp_path / "sfedge")
+    os.makedirs(sf, exist_ok=True)
+    pqm.write_table(docs, os.path.join(sf, "documents.parquet"))
+    a = (doc_bigram_coverage(sf, min_count=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (doc_bigram_coverage(sf, min_count=3, broadcast_cap_keys=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True)[list(a.columns)])
+    assert a.equals(b)
+    assert len(a) == 4 and (a.loc[a.doc_id == 1, "n_bigrams"] == 0).all()
+    assert (a.loc[a.doc_id == 2, "n_known"] == 0).all()
