@@ -308,11 +308,26 @@ class _AllPairs:
         )
 
 
-def cosine_neardup(sf_dir: str, threshold: float = 0.8) -> ray.data.Dataset:
+def cosine_neardup(sf_dir: str, threshold: float = 0.8,
+                   broadcast_cap_rows: int = 2_000_000) -> ray.data.Dataset:
     """(vec_a, vec_b): unordered pairs with exact cosine >= threshold
-    over the near-dup corpus.  O(n^2) verify baseline (broadcast right
-    side); use :func:`cosine_neardup_lsh` as the scale path."""
-    mref = ray.put(_corpus_matrix(sf_dir))
+    over the near-dup corpus.  O(n^2) VERIFY BASELINE: the full
+    normalized matrix is broadcast to every worker, so this is only
+    valid while it fits a worker's heap — ``broadcast_cap_rows``
+    ENFORCES that boundary (2M x 64 float64 = ~1 GB default; raise it
+    knowingly for wider vectors).  Past the cap the call refuses with a
+    pointer to :func:`cosine_neardup_lsh`, the banded scale path whose
+    output equals this one wherever its recall is 1 — the same enforced
+    switch-over contract as ``auto_lookup_join``."""
+    ids, mat = _corpus_matrix(sf_dir)
+    if len(ids) > broadcast_cap_rows:
+        raise ValueError(
+            f"cosine_neardup broadcasts the full {len(ids)}-row corpus "
+            f"matrix (> cap {broadcast_cap_rows}); use cosine_neardup_lsh "
+            "for corpora past the cap, or raise broadcast_cap_rows if a "
+            "worker heap can genuinely hold the matrix"
+        )
+    mref = ray.put((ids, mat))
     return neardup_corpus(sf_dir).map_batches(
         _AllPairs,
         fn_constructor_args=(mref, threshold),

@@ -151,3 +151,12 @@ def test_kmeans_assign_vs_duckdb(ray_session, con):
     assert got["cluster"].tolist() == want["cluster"].tolist()
     # every cluster id valid; multiple clusters actually used
     assert got["cluster"].between(0, 15).all() and got["cluster"].nunique() > 4
+
+
+def test_cosine_neardup_cap_enforced(ray_session):
+    """The O(n^2) baseline refuses past its broadcast cap, pointing at
+    the LSH scale path (the auto_lookup_join switch-over contract)."""
+    from rios_ray.pipelines import embeddings as E
+
+    with pytest.raises(ValueError, match="cosine_neardup_lsh"):
+        E.cosine_neardup(SF, broadcast_cap_rows=10)
