@@ -353,8 +353,18 @@ def test_winnow_df_cap_drop_metric(ray_session, tmp_path, monkeypatch):
     collector = MetricsCollector.remote()  # already @ray.remote(num_cpus=0)
     out = D.winnow_pairs(sf, min_shared=1, df_cap=8, metrics=collector)
     out.count()  # execute
-    summary = ray.get(collector.summary.remote())
+    # the drop reports are fire-and-forget remote calls from workers:
+    # poll until the actor has processed them (no ordering guarantee
+    # between a worker's add.remote and the driver's summary.remote)
+    import time
+
     key = "winnow_pairs/df_cap_dropped"
+    summary = {}
+    for _ in range(100):
+        summary = ray.get(collector.summary.remote())
+        if key in summary:
+            break
+        time.sleep(0.1)
     assert key in summary and summary[key]["rows"] > 8, summary
 
 
