@@ -113,3 +113,50 @@ def test_hamming_identity_and_symmetry(vals):
     zero = np.zeros_like(a)
     assert np.array_equal(hamming64(a, zero),
                           np.array([bin(int(v)).count("1") for v in vals]))
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=200),
+    st.integers(1, 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_run_pair_indices_matches_naive(keys, df_cap):
+    """Size-grouped vectorized pair emission == a naive per-run loop:
+    same pair multiset, runs past df_cap dropped whole."""
+    import itertools
+
+    from rios_ray.pipelines.dedup import _run_pair_indices
+
+    arr = np.sort(np.asarray(keys, dtype=np.int64))
+    new = (
+        np.concatenate([[True], arr[1:] != arr[:-1]])
+        if len(arr)
+        else np.zeros(0, dtype=bool)
+    )
+    ia, ib = _run_pair_indices(new, df_cap)
+    got = sorted(zip(ia.tolist(), ib.tolist()))
+    want = []
+    i = 0
+    while i < len(arr):
+        j = i
+        while j < len(arr) and arr[j] == arr[i]:
+            j += 1
+        if 2 <= j - i <= df_cap:
+            want.extend(itertools.combinations(range(i, j), 2))
+        i = j
+    assert got == sorted(want)
+    assert all(a < b for a, b in got)
+
+
+@given(st.lists(st.text(max_size=40), min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_winnow_flat_property(texts):
+    """Flat-buffer winnow kernel == per-doc reference on arbitrary
+    unicode input (hypothesis sweep on top of the seeded parity test)."""
+    import pyarrow as pa
+
+    from rios_ray.text import analysis as A
+
+    vals, doc_of = A.winnow_fingerprints_flat(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert np.array_equal(A.winnow_fingerprint_one(t), vals[doc_of == i]), i
