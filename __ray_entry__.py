@@ -627,6 +627,12 @@ def _q_rel_q6(sf_dir: str):
     return R.q6_forecast_revenue(sf_dir)
 
 
+def _q_rel_q7(sf_dir: str):
+    from rios_ray.pipelines.relational import q7_volume_shipping
+
+    return q7_volume_shipping(sf_dir)
+
+
 def _q_rel_q4(sf_dir: str):
     from rios_ray.pipelines import relational as R
 
@@ -994,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_nation_revenue": _q_rel_q5,
         "rel_q6_forecast_revenue": _q_rel_q6,
         "rel_q4_order_priority": _q_rel_q4,
+        "rel_q7_volume_shipping": _q_rel_q7,
     }
 
 
@@ -1697,6 +1704,20 @@ def _relational_oracle_sql() -> dict[str, str]:
              GROUP BY l_orderkey
              ORDER BY revenue_cents DESC, l_orderkey
              LIMIT 10
+        """,
+        "rel_q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   {rev} AS revenue_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+                OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+             GROUP BY 1, 2, 3
         """,
         "rel_q5_nation_revenue": f"""
             SELECT r_name, n_name, {rev} AS revenue_cents

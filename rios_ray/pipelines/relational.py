@@ -774,3 +774,111 @@ def q12_priority_lines(
         [("high", "sum", "high_line_count"), ("low", "sum", "low_line_count")],
         final_mode="tree",
     )
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
+                       nation_b: str = "NATION_1") -> ray.data.Dataset:
+    """Q7-style volume shipping: discounted revenue between two nations
+    by (supplier nation, customer nation, ship year) — trade in BOTH
+    directions, the classic two-sided dimension filter.
+
+    Same physical shape as q5: supplier/customer key->nation maps are
+    the broadcast side (sorted key arrays, searchsorted per batch); the
+    lineitem scan streams with revenue pre-folded to integer cents and
+    the ship year extracted per batch; orders x lineitem is the one
+    partitioned exchange; the (nation, nation) pair filter collapses
+    rows map-side BEFORE the tiny grouped final.
+    """
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nkey = nation["n_nationkey"].to_numpy()
+    n_max = int(nkey.max()) + 1
+    nat_names = [""] * n_max
+    for k, nm in zip(nkey, nation["n_name"].to_pylist()):
+        nat_names[int(k)] = nm
+    want = {nat_names.index(nation_a), nat_names.index(nation_b)}
+    a_key, b_key = sorted(want)
+
+    skeys = supp["s_suppkey"].to_numpy()
+    s_ord = np.argsort(skeys)
+    ckeys = cust["c_custkey"].to_numpy()
+    c_ord = np.argsort(ckeys)
+    dims_ref = ray.put(
+        (
+            skeys[s_ord],
+            supp["s_nationkey"].to_numpy()[s_ord].astype(np.int32),
+            ckeys[c_ord],
+            cust["c_nationkey"].to_numpy()[c_ord].astype(np.int32),
+            nat_names,
+        )
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        year = pc.year(b["l_shipdate"]).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "l_year": year,
+                "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH)
+    from ..functions.join import partitioned_lookup_join
+
+    joined = partitioned_lookup_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        [("l_suppkey", pa.int64()), ("l_year", pa.int64()), ("rev_cents", pa.int64())],
+        [("o_custkey", pa.int64(), "o_custkey")],
+        _join_partitions(),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        sk_s, sn_s, ck_s, cn_s, nat_names_ = ray.get(dims_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        sp = np.minimum(np.searchsorted(sk_s, sk), len(sk_s) - 1)
+        sn = np.where(sk_s[sp] == sk, sn_s[sp], -1).astype(np.int32)
+        cp = np.minimum(np.searchsorted(ck_s, ck), len(ck_s) - 1)
+        cn = np.where(ck_s[cp] == ck, cn_s[cp], -2).astype(np.int32)
+        keep = ((sn == a_key) & (cn == b_key)) | ((sn == b_key) & (cn == a_key))
+        b = b.filter(pa.array(keep))
+        sn, cn = sn[keep], cn[keep]
+        return pa.table(
+            {
+                "supp_nation": pa.DictionaryArray.from_arrays(
+                    pa.array(sn), pa.array(nat_names_, type=pa.string())
+                ).cast(pa.string()),
+                "cust_nation": pa.DictionaryArray.from_arrays(
+                    pa.array(cn), pa.array(nat_names_, type=pa.string())
+                ).cast(pa.string()),
+                "l_year": b["l_year"],
+                "rev_cents": b["rev_cents"],
+            }
+        )
+
+    tagged = joined.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+    return hash_grouped_aggregate(
+        tagged, ["supp_nation", "cust_nation", "l_year"],
+        [("rev_cents", "sum", "revenue_cents")],
+    )

@@ -343,3 +343,39 @@ def test_auto_lookup_join_empty_right(ray_session):
         # schema survives at the Dataset level (to_pandas drops columns
         # for all-empty datasets — a Ray quirk, not the join's contract)
         assert sorted(out.schema().names) == ["k", "name", "v"], f"cap={cap}"
+
+
+def test_q7_volume_shipping_vs_duckdb(ray_session, con):
+    """Q7-style two-nation volume shipping: integer-cents revenue per
+    (supp_nation, cust_nation, ship year), both trade directions."""
+    from rios_ray.pipelines.relational import q7_volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+    # NATION_20 <-> NATION_11 trade exists at sf0.001 (the q5-style
+    # default pair only appears from sf0.01 up)
+    got = (
+        q7_volume_shipping(sf, nation_a="NATION_20", nation_b="NATION_11")
+        .to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    want = con.sql(f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """).df()
+    for c in ("supp_nation", "cust_nation", "l_year", "revenue_cents"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # sf0.001 trade happens to be one-directional for this pair — both
+    # directions are exercised by the driver query at sf0.01 (14 rows)
+    assert len(got) > 0
