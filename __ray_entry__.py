@@ -532,6 +532,12 @@ def _q_events_value_deltas(sf_dir: str):
     return value_deltas(sf_dir)
 
 
+def _q_cell_gradient(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import cell_gradient
+
+    return cell_gradient(sf_dir)
+
+
 def _q_grid_dbscan(sf_dir: str):
     from rios_ray.pipelines.spatial_ops import grid_dbscan
 
@@ -1001,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q6_forecast_revenue": _q_rel_q6,
         "rel_q4_order_priority": _q_rel_q4,
         "rel_q7_volume_shipping": _q_rel_q7,
+        "cell_gradient": _q_cell_gradient,
     }
 
 
@@ -2091,6 +2098,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(tld, 'ALL') AS tld,
                    CAST(count(*) AS BIGINT) AS n_pages
               FROM b GROUP BY GROUPING SETS ((lang, tld), (lang), (tld), ())
+        """,
+        # central-difference gradient of the count surface (all-int:
+        # bitwise compare); lon wraps via modular cx, lat clips via the
+        # LEFT JOINs simply not matching
+        "cell_gradient": f"""
+            WITH c AS (
+                SELECT {_cell_sql()} AS cell, CAST(count(*) AS BIGINT) AS n
+                  FROM ({_pages_sql()}) GROUP BY 1
+            ),
+            d AS (SELECT cell, n, cell // {2 << DEFAULT_GRID_RES} AS cy,
+                         cell % {2 << DEFAULT_GRID_RES} AS cx FROM c)
+            SELECT a.cell, a.n AS n_pages,
+                   COALESCE(e.n, 0) - COALESCE(w.n, 0) AS gx,
+                   COALESCE(s.n, 0) - COALESCE(nn.n, 0) AS gy
+              FROM d a
+              LEFT JOIN d e  ON e.cy = a.cy AND e.cx = (a.cx + 1) % {2 << DEFAULT_GRID_RES}
+              LEFT JOIN d w  ON w.cy = a.cy AND w.cx = (a.cx + {(2 << DEFAULT_GRID_RES) - 1}) % {2 << DEFAULT_GRID_RES}
+              LEFT JOIN d s  ON s.cy = a.cy + 1 AND s.cx = a.cx
+              LEFT JOIN d nn ON nn.cy = a.cy - 1 AND nn.cx = a.cx
         """,
         # grid-DBSCAN: core cells (count >= minpts), 8-neighbor
         # adjacency (lon wraps, lat clips implicitly — only existing

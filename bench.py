@@ -222,6 +222,11 @@ def run_bench() -> dict:
 
         return host_crawl_sessions(sf_dir, gap_us=20 * 86_400 * 1_000_000).count()
 
+    def gradient():
+        from rios_ray.pipelines.spatial_ops import cell_gradient
+
+        return cell_gradient(sf_dir).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -294,6 +299,7 @@ def run_bench() -> dict:
         "events_deltas": deltas,
         "pip_join_left": pip_left,
         "host_crawl_sessions": crawl_sessions,
+        "cell_gradient": gradient,
     }
     for name, fn in all_queries.items():
         if selected is None or name in selected:

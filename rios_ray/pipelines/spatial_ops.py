@@ -459,3 +459,84 @@ def pip_join_left(sf_dir: str) -> ray.data.Dataset:
         pip_join_fn(polys_ref, keep_cols=["url"], outer=True),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE,
     ).select_columns(["url", "category"])
+
+
+def cell_gradient(sf_dir: str, res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
+    """Central-difference gradient of the cell-count surface: for every
+    OCCUPIED cell, (cell, n_pages, gx, gy) with gx = n(east) - n(west)
+    and gy = n(south) - n(north), zero-padded — the slope/aspect raster
+    derivative in cell-key space (longitude wraps, latitude clips),
+    integer-exact so the oracle compare is bitwise.
+
+    Same scale shape as the focal stats: counts are grid-bounded, each
+    cell emits 5 tagged contribution rows (self + one per compass
+    direction), one keyed exchange reduces them vectorized.
+    """
+    ny, nx = 1 << res, 2 << res
+
+    counts = grouped_count(
+        geocoded_pages(sf_dir, keep_text=False, grid_res=res,
+                       families=("grid",)).select_columns(["cell"]),
+        ["cell"], alias="n", final_mode="tree",
+    )
+
+    def contributions(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy()
+        n = b["n"].to_numpy()
+        cy, cx = cell // nx, cell % nx
+        out_cell, out_n, out_gx, out_gy, out_self = [], [], [], [], []
+
+        def emit(tc, tn, gx, gy, is_self):
+            out_cell.append(tc)
+            out_n.append(tn)
+            out_gx.append(np.full(len(tc), gx, dtype=np.int8))
+            out_gy.append(np.full(len(tc), gy, dtype=np.int8))
+            out_self.append(np.full(len(tc), is_self, dtype=np.int8))
+
+        emit(cell, n, 0, 0, 1)                                # self
+        emit(cy * nx + (cx + nx - 1) % nx, n, +1, 0, 0)       # I'm my west neighbor's EAST
+        emit(cy * nx + (cx + 1) % nx, n, -1, 0, 0)            # I'm my east neighbor's WEST
+        ok = cy - 1 >= 0                                       # I'm my north neighbor's SOUTH
+        emit((cy[ok] - 1) * nx + cx[ok], n[ok], 0, +1, 0)
+        ok = cy + 1 < ny                                       # I'm my south neighbor's NORTH
+        emit((cy[ok] + 1) * nx + cx[ok], n[ok], 0, -1, 0)
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_cell)),
+            "n": pa.array(np.concatenate(out_n)),
+            "tgx": pa.array(np.concatenate(out_gx)),
+            "tgy": pa.array(np.concatenate(out_gy)),
+            "is_self": pa.array(np.concatenate(out_self)),
+        })
+
+    contrib = counts.map_batches(
+        contributions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def reduce_cells(tbl: pa.Table) -> pa.Table:
+        cell = tbl["cell"].to_numpy()
+        n = tbl["n"].to_numpy()
+        tgx = tbl["tgx"].to_numpy().astype(np.int64)
+        tgy = tbl["tgy"].to_numpy().astype(np.int64)
+        is_self = tbl["is_self"].to_numpy().astype(np.int64)
+        order = np.argsort(cell, kind="stable")
+        c_s = cell[order]
+        new = np.concatenate([[True], c_s[1:] != c_s[:-1]]) if len(c_s) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        if not len(starts):
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "n_pages": pa.array([], type=pa.int64()),
+                             "gx": pa.array([], type=pa.int64()),
+                             "gy": pa.array([], type=pa.int64())})
+        gx = np.add.reduceat((n * tgx)[order], starts)
+        gy = np.add.reduceat((n * tgy)[order], starts)
+        own = np.add.reduceat((n * is_self)[order], starts)
+        has_self = np.add.reduceat(is_self[order], starts) > 0
+        return pa.table({
+            "cell": pa.array(c_s[starts][has_self]),
+            "n_pages": pa.array(own[has_self]),
+            "gx": pa.array(gx[has_self]),
+            "gy": pa.array(gy[has_self]),
+        })
+
+    return hash_partitioned_groups(contrib, ["cell"], reduce_cells)

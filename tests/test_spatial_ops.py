@@ -395,3 +395,33 @@ def test_pip_join_left_vs_inner(ray_session):
     b = sorted(zip(left[left["category"] != "none"]["url"],
                    left[left["category"] != "none"]["category"]))
     assert a == b
+
+
+def test_cell_gradient_vs_numpy(ray_session):
+    """Gradient equals a dense-raster central difference computed
+    driver-side on the zero-padded count surface (wrap in x, clip in
+    y), restricted to occupied cells."""
+    import numpy as np
+
+    from rios_ray.pipelines.pages import geocoded_pages
+    from rios_ray.pipelines.spatial_ops import cell_gradient
+    from rios_ray.stages.cellassign import DEFAULT_GRID_RES
+
+    sf = "/root/testdata/sf0.001"
+    got = cell_gradient(sf).to_pandas().set_index("cell")
+    ny, nx = 1 << DEFAULT_GRID_RES, 2 << DEFAULT_GRID_RES
+    cells = geocoded_pages(sf, keep_text=False, families=("grid",)) \
+        .select_columns(["cell"]).to_pandas()["cell"].to_numpy()
+    surface = np.zeros((ny, nx), dtype=np.int64)
+    np.add.at(surface, (cells // nx, cells % nx), 1)
+    east = np.roll(surface, -1, axis=1)          # x wraps
+    west = np.roll(surface, 1, axis=1)
+    south = np.vstack([surface[1:], np.zeros((1, nx), np.int64)])  # y clips
+    north = np.vstack([np.zeros((1, nx), np.int64), surface[:-1]])
+    gx, gy = east - west, south - north
+    occ = np.flatnonzero(surface.ravel())
+    assert sorted(got.index) == sorted(occ.tolist())
+    for c in got.index[:500]:
+        y, x = divmod(int(c), nx)
+        assert got.loc[c, "gx"] == gx[y, x] and got.loc[c, "gy"] == gy[y, x], c
+    assert (got[["gx", "gy"]].abs().to_numpy() > 0).any()
