@@ -376,7 +376,10 @@ def run_scaling() -> dict:
         # projects to a long-running cluster job
         return min((one(ncpu) for _ in range(repeats)), key=lambda r: r["value"])
 
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # 3 repeats per leg: measured same-window 1->4 samples read 0.783
+    # at 2 repeats (4-cpu leg had not hit its best) vs 0.861 at 3 —
+    # the best-of floor matters more than window choice (BASELINE.md)
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     ncpu_lo, ncpu_hi = (
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "1,4").split(",")
     )
