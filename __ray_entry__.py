@@ -814,7 +814,9 @@ def _q_doc_corr(sf_dir: str):
 def _q_media_frame_dedup(sf_dir: str):
     from rios_ray.pipelines.multimodal import frame_dedup
 
-    return frame_dedup(sf_dir)
+    # md5 key: exactly matches DuckDB md5() (the library default is the
+    # vectorized FNV key — same groups up to 64-bit collisions)
+    return frame_dedup(sf_dir, key="md5")
 
 
 def _q_media_frame_samples(sf_dir: str):

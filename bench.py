@@ -313,14 +313,13 @@ def run_bench() -> dict:
         "value": headline if headline is not None else round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "iters": raw_iters,
         "sf": synth.sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / headline, 1) if headline else None,
     }
     ray.shutdown()
-    return result
+    return result, raw_iters
 
 
 def run_scaling() -> dict:
@@ -367,6 +366,7 @@ def run_scaling() -> dict:
             text=True,
             check=True,
         ).stdout
+        # the compact summary is the LAST line (iters travel earlier)
         return json.loads(out.strip().splitlines()[-1])
 
     def best(ncpu: int, repeats: int) -> dict:
@@ -402,4 +402,19 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        summary, raw_iters = run_bench()
+        # Per-iteration raws let a reader tell steal-window noise from a
+        # real regression, but they doubled the line size and overflowed
+        # the driver's tail capture in round 3 (BENCH_r03 parsed: null).
+        # They travel on their OWN earlier line and in a sidecar file;
+        # the compact summary stays the FINAL line the driver parses.
+        try:
+            sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_iters.json")
+            with open(sidecar, "w") as f:
+                json.dump({"sf": summary["sf"], "num_cpus": summary["num_cpus"],
+                           "iters": raw_iters}, f)
+        except OSError:
+            pass  # read-only checkout: the stdout line still has them
+        print(json.dumps({"iters": raw_iters}))
+        print(json.dumps(summary))

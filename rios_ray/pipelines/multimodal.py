@@ -7,10 +7,15 @@ whole pipeline is reproducible with no side files.  Decode is stubbed
 (no codecs in this container — see stages/multimodal.py); resize,
 feature extraction and frame sampling are real vectorized kernels.
 
-Actor pools: decode/resize/features are callable classes on
-``map_batches(Cls, concurrency=(1, N), batch_size=SMALL)`` — binary
-payloads mean small batches, and the codec slot is initialised once
-per actor.
+Stage scheduling: the stage classes are cheap to construct (codec
+resolution is an import-try; no model weights), so by default they run
+on the shared Ray TASK pool via ``stages.multimodal.stage_fn`` — a
+plain function with a per-worker-process instance cache (the
+``stages/pip.py::pip_join_fn`` pattern), avoiding the actor-pool
+cold start each execution pays (measured 4.6 s for a 0.15 s warm
+kernel at sf0.1/32cpus).  Pass ``use_actors=True`` to run the same
+classes as an actor pool — the right shape when ``__init__`` loads a
+real model/codec.
 """
 
 from __future__ import annotations
@@ -23,10 +28,12 @@ from ..dedup.hashing import fnv1a64
 from ..sources.pages import read_pages
 from ..stages.multimodal import (
     DEFAULT_MEDIA_BATCH,
+    AHashStage,
     FrameSampleStage,
     ImageDecodeStage,
     ImageFeatureStage,
     ResizeStage,
+    stage_fn,
 )
 
 FRAME_BYTES = 32
@@ -58,11 +65,27 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _media_stage(ds, cls, use_actors: bool, batch_size: int, **kwargs):
+    """One media stage, task-pool (default) or actor-pool scheduled."""
+    if use_actors:
+        from ..util import default_pool
+
+        return ds.map_batches(
+            cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=batch_size,
+            concurrency=default_pool(),
+        )
+    return ds.map_batches(
+        stage_fn(cls, **kwargs), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size,
+    )
+
+
 def image_features(
     sf_dir: str,
     out_h: int = 8,
     out_w: int = 8,
-    concurrency=None,
+    use_actors: bool = False,
     batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """decode (stub codec) -> resize (real) -> per-channel stats (real).
@@ -70,82 +93,63 @@ def image_features(
     ``batch_size`` defaults to 1024 here because the synthetic images
     are tiny (<=16x16x3, ~1 KB tensors); with real megapixel payloads
     pass DEFAULT_MEDIA_BATCH so batch x concurrency stays in worker
-    heaps."""
-    from ..util import default_pool
-
-    if concurrency is None:
-        concurrency = default_pool()
+    heaps.  ``use_actors=True`` runs each stage as an actor pool — the
+    right shape when the codec ``__init__`` loads real model weights
+    (see module docstring)."""
     if batch_size is None:
         batch_size = 1024
     ds = media_table(sf_dir)
-    ds = ds.map_batches(
-        ImageDecodeStage,
-        fn_constructor_kwargs={"codec": "auto"},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    ds = ds.map_batches(
-        ResizeStage,
-        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    return ds.map_batches(
-        ImageFeatureStage,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    ds = _media_stage(ds, ImageDecodeStage, use_actors, batch_size, codec="auto")
+    ds = _media_stage(ds, ResizeStage, use_actors, batch_size,
+                      out_h=out_h, out_w=out_w)
+    return _media_stage(ds, ImageFeatureStage, use_actors, batch_size)
 
 
-def frame_samples(sf_dir: str, concurrency=None,
+def frame_samples(sf_dir: str, use_actors: bool = False,
                   batch_size: int = 4096) -> ray.data.Dataset:
     """(url, frame_idx, frame): every FRAME_EVERY-th FRAME_BYTES chunk.
 
-    ``batch_size`` sizes actor calls: fixture payloads are ~hundreds of
+    ``batch_size`` sizes stage calls: fixture payloads are ~hundreds of
     bytes so 4096 rows is ~2.5 MB/batch (512-row batches cost 8x the
-    actor-call dispatch for nothing); with real multi-MB video payloads
-    pass a smaller value so batch x concurrency stays in worker heaps.
+    dispatch for nothing); with real multi-MB video payloads pass a
+    smaller value so batch x concurrency stays in worker heaps.
     """
-    from ..util import default_pool
-
-    if concurrency is None:
-        concurrency = default_pool()
-    return media_table(sf_dir).map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"frame_bytes": FRAME_BYTES, "every": FRAME_EVERY},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
+    return _media_stage(
+        media_table(sf_dir), FrameSampleStage, use_actors, batch_size,
+        frame_bytes=FRAME_BYTES, every=FRAME_EVERY,
     )
 
 
-def frame_dedup(sf_dir: str) -> ray.data.Dataset:
+def frame_dedup(sf_dir: str, key: str = "fnv") -> ray.data.Dataset:
     """Cross-video exact frame dedup: one row per DISTINCT sampled frame
     with its first owner and copy count — the multimodal composition of
-    frame sampling + the exact-dedup exchange (per-batch md5 partials,
-    one md5-keyed exchange, vectorized first-occurrence + run-length
+    frame sampling + the exact-dedup exchange (per-batch key partials,
+    one key-keyed exchange, vectorized first-occurrence + run-length
     counts; the ROW_NUMBER()=1 + COUNT() OVER pattern without a window
     function).
 
-    md5 is the only per-row step (no vectorized digest kernel exists);
-    frames are fixed 32-byte payloads, so the hash pass is bounded and
-    runs inside the same streaming stage as the sampler output.
+    ``key`` picks the frame-key kernel (same contract as
+    ``pipelines.dedup.exact_dedup``):
+
+    - ``"fnv"`` (default, the scale path): vectorized FNV-1a 64 fed
+      straight from the Arrow binary buffers — no per-row Python.  At
+      100 TB of video the hash pass IS the bottleneck stage, so the
+      per-row md5 loop is the wrong default; a 64-bit collision merges
+      two distinct frames with P ~ n^2/2^65.
+    - ``"md5"``: per-row hashlib digests, collision-free in practice
+      and exactly matching DuckDB's ``md5()`` — the oracle-parity
+      option the driver query uses.
+
+    Either way the key column is named ``frame_md5`` (hex string) so
+    both variants share one output schema.
     """
     import hashlib
 
     import numpy as np
-    import pyarrow.compute as pc
 
     from ..functions.agg import hash_partitioned_groups
 
-    def digest(b: pa.Table) -> pa.Table:
+    def digest_md5(b: pa.Table) -> pa.Table:
         frames = b["frame"].combine_chunks() if isinstance(b["frame"], pa.ChunkedArray) else b["frame"]
         md = [hashlib.md5(f.as_py()).hexdigest() for f in frames]
         return pa.table({
@@ -154,8 +158,20 @@ def frame_dedup(sf_dir: str) -> ray.data.Dataset:
             "frame_idx": b["frame_idx"],
         })
 
+    def digest_fnv(b: pa.Table) -> pa.Table:
+        from ..dedup.hashing import fnv1a64_arrow
+
+        h = fnv1a64_arrow(b["frame"])
+        keys = np.char.mod("%016x", h)
+        return pa.table({
+            "frame_md5": pa.array(keys, type=pa.string()),
+            "url": b["url"],
+            "frame_idx": b["frame_idx"],
+        })
+
     ds = frame_samples(sf_dir).map_batches(
-        digest, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+        digest_md5 if key == "md5" else digest_fnv,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=4096,
     )
 
     def summarize(tbl: pa.Table) -> pa.Table:
@@ -228,56 +244,20 @@ def ensure_pixels_sidecar(sf_dir: str, out_h: int = 8, out_w: int = 8) -> str:
 
 
 def image_ahash(sf_dir: str, out_h: int = 8, out_w: int = 8,
-                concurrency=None, batch_size: int | None = None) -> ray.data.Dataset:
-    """Perceptual average-hash of every image: (url, ahash) where ahash
-    is the 64-char '0'/'1' string with bit i set iff pixel i's integer
-    luma (299r + 587g + 114b — all-int, no float thresholds to diverge
-    on) strictly exceeds the image mean (L_i * npix > total).  The
+                use_actors: bool = False,
+                batch_size: int | None = None) -> ray.data.Dataset:
+    """Perceptual average-hash of every image: (url, ahash) — the
     standard near-duplicate IMAGE fingerprint (group by ahash, or
-    Hamming-band it exactly like simhash) — here the decode -> resize
-    -> hash chain is what's exercised; the hash itself is bit-exact
-    against the pixel-sidecar SQL oracle.
+    Hamming-band it exactly like simhash).  The decode -> resize ->
+    hash chain runs FUSED in one stage (``stages.multimodal.AHashStage``
+    — pixels never cross the object store), on the shared task pool by
+    default (per-worker cache; the pool cold start was the whole cost
+    of this pipeline at sf0.1); the hash itself is bit-exact against
+    the pixel-sidecar SQL oracle.
     """
-    from ..util import default_pool
-
-    if concurrency is None:
-        concurrency = default_pool()
     if batch_size is None:
         batch_size = 1024
-    npix = out_h * out_w
-
-    class AHashStage:
-        """FUSED decode -> resize -> hash in one actor ``__call__``:
-        unlike the image_features chain (kept stage-separated as the
-        composability showcase), a fingerprint never needs the full
-        pixel tensor outside the worker, so fusing avoids shipping
-        decoded pixels through the object store between pools — the
-        shape that matters when payloads are megapixels, not the
-        fixture's thumbnails (measured here: 5.6 s -> ~2 s at sf0.1)."""
-
-        def __init__(self):
-            self.decode = ImageDecodeStage(codec="auto")
-            self.resize = ResizeStage(out_h=out_h, out_w=out_w)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            small = self.resize(self.decode(b))
-            px = small["pixels"]
-            if isinstance(px, pa.ChunkedArray):
-                px = px.combine_chunks()
-            flat = px.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            n = small.num_rows
-            rgb = flat.reshape(n, npix, 3)
-            luma = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
-            total = luma.sum(axis=1)  # exact: <= 64 * 255 * 1000
-            bits = (luma * npix > total[:, None]).astype(np.uint8)
-            chars = (bits + 48).astype(np.uint8)  # ASCII '0'/'1'
-            offsets = np.arange(0, (n + 1) * npix, npix, dtype=np.int32)
-            arr = pa.StringArray.from_buffers(
-                n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())
-            )
-            return pa.table({"url": small["url"], "ahash": arr})
-
-    return media_table(sf_dir).map_batches(
-        AHashStage, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency,
+    return _media_stage(
+        media_table(sf_dir), AHashStage, use_actors, batch_size,
+        out_h=out_h, out_w=out_w,
     )

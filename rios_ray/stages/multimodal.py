@@ -67,19 +67,34 @@ def _pixels_table(
     return _pixels_table_flat(base, flat, heights, widths)
 
 
-def _rows_matrices(batch: pa.Table) -> list[np.ndarray]:
-    """(h, w, c) views of each row's pixels — flatten is zero-copy."""
-    px = batch["pixels"]
-    if isinstance(px, pa.ChunkedArray):
-        px = px.combine_chunks()
-    flat = px.flatten().to_numpy(zero_copy_only=False)
-    offs = px.offsets.to_numpy(zero_copy_only=False)
-    h = batch["height"].to_numpy()
-    w = batch["width"].to_numpy()
-    return [
-        flat[offs[i]: offs[i + 1]].reshape(h[i], w[i], _CHANNELS)
-        for i in range(len(h))
-    ]
+_FN_CACHE: dict = {}
+
+
+def stage_fn(cls, **kwargs):
+    """Task-pool wrapper for a callable-class stage with a per-worker-
+    process instance cache.
+
+    Actor pools pay a cold start per execution (process spawn +
+    re-import); for stages whose ``__init__`` is cheap (codec
+    resolution, a few params — no model weights) that spin-up dominates
+    short runs: image_ahash measured 4.6 s for a 0.15 s warm kernel at
+    sf0.1/32cpus.  Ray *task* workers stay warm across executions, so a
+    module-global cache keyed by (class, ctor args) gives
+    build-once-per-process semantics with zero pool spin-up — the
+    ``stages/pip.py::pip_join_fn`` pattern (BASELINE.md optimization
+    #2).  Use the actor-pool class directly when ``__init__`` is
+    genuinely expensive (real model-loading codecs).
+    """
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def fn(b: pa.Table) -> pa.Table:
+        stage = _FN_CACHE.get(key)
+        if stage is None:
+            stage = cls(**kwargs)
+            _FN_CACHE[key] = stage
+        return stage(b)
+
+    return fn
 
 
 def fake_decode_batch(
@@ -264,6 +279,46 @@ class ImageFeatureStage:
                 ).cast(pa.list_(pa.int64())),
             }
         )
+
+
+class AHashStage:
+    """FUSED decode -> resize -> average-hash in one ``__call__``:
+    unlike the image_features chain (kept stage-separated as the
+    composability showcase), a fingerprint never needs the full pixel
+    tensor outside the worker, so fusing avoids shipping decoded pixels
+    through the object store between stages — the shape that matters
+    when payloads are megapixels, not the fixture's thumbnails.
+
+    Output: (id, ahash) where ahash is the 64-char '0'/'1' string with
+    bit i set iff pixel i's integer luma (299r + 587g + 114b — all-int,
+    no float thresholds to diverge on) strictly exceeds the image mean
+    (L_i * npix > total)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8, codec: str = "auto",
+                 id_col: str = "url"):
+        self.decode = ImageDecodeStage(codec=codec, id_col=id_col)
+        self.resize = ResizeStage(out_h=out_h, out_w=out_w, id_col=id_col)
+        self.npix = out_h * out_w
+        self.id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        npix = self.npix
+        small = self.resize(self.decode(b))
+        px = small["pixels"]
+        if isinstance(px, pa.ChunkedArray):
+            px = px.combine_chunks()
+        flat = px.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = small.num_rows
+        rgb = flat.reshape(n, npix, 3)
+        luma = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+        total = luma.sum(axis=1)  # exact: <= 64 * 255 * 1000
+        bits = (luma * npix > total[:, None]).astype(np.uint8)
+        chars = (bits + 48).astype(np.uint8)  # ASCII '0'/'1'
+        offsets = np.arange(0, (n + 1) * npix, npix, dtype=np.int32)
+        arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes())
+        )
+        return pa.table({self.id_col: small[self.id_col], "ahash": arr})
 
 
 class FrameSampleStage:

@@ -90,6 +90,21 @@ def test_frame_samples_match_python(ray_session):
     assert all(len(f) == M.FRAME_BYTES for _, _, f in want)
 
 
+def _rows_matrices(batch: pa.Table) -> list:
+    """Scalar oracle: (h, w, c) views of each row's pixels."""
+    px = batch["pixels"]
+    if isinstance(px, pa.ChunkedArray):
+        px = px.combine_chunks()
+    flat = px.flatten().to_numpy(zero_copy_only=False)
+    offs = px.offsets.to_numpy(zero_copy_only=False)
+    h = batch["height"].to_numpy()
+    w = batch["width"].to_numpy()
+    return [
+        flat[offs[i]: offs[i + 1]].reshape(h[i], w[i], 3)
+        for i in range(len(h))
+    ]
+
+
 def test_pixels_roundtrip_schema():
     base = {"url": pa.array(["a", "b"])}
     rows = [
@@ -97,7 +112,7 @@ def test_pixels_roundtrip_schema():
         np.arange(4 * 2 * 3, dtype=np.uint8).reshape(4, 2, 3),
     ]
     t = S._pixels_table(base, rows, np.array([2, 4]), np.array([3, 2]))
-    back = S._rows_matrices(t)
+    back = _rows_matrices(t)
     assert np.array_equal(back[0], rows[0])
     assert np.array_equal(back[1], rows[1])
 
@@ -108,7 +123,7 @@ def test_frame_dedup_vs_duckdb(ray_session):
     from rios_ray import synth
     from rios_ray.pipelines.multimodal import FRAME_BYTES, FRAME_EVERY, frame_dedup
 
-    got = frame_dedup(SF).to_pandas()
+    got = frame_dedup(SF, key="md5").to_pandas()
     want = duckdb.sql(f"""
         WITH m AS (SELECT url, html,
                           CAST(floor(octet_length(html) / {FRAME_BYTES}) AS BIGINT) AS n_frames
@@ -139,6 +154,22 @@ def test_frame_dedup_vs_duckdb(ray_session):
                    {FRAME_EVERY}))
             FROM read_parquet('{synth.pages_path(SF)}/*.parquet')
            WHERE octet_length(html) >= {FRAME_BYTES})""").fetchone()[0]
+
+
+def test_frame_dedup_fnv_matches_md5_groups(ray_session):
+    """The vectorized FNV default finds the SAME duplicate groups as
+    the md5 oracle-parity path (keys differ; group structure — keeper
+    and copy count — must not)."""
+    from rios_ray.pipelines.multimodal import frame_dedup
+
+    fnv = frame_dedup(SF, key="fnv").to_pandas()
+    md5 = frame_dedup(SF, key="md5").to_pandas()
+    assert len(fnv) == len(md5) > 0
+    assert fnv["frame_md5"].str.fullmatch("[0-9a-f]{16}").all()
+    cols = ["keep_url", "keep_idx", "n_copies"]
+    g = sorted(map(tuple, fnv[cols].itertuples(index=False)))
+    w = sorted(map(tuple, md5[cols].itertuples(index=False)))
+    assert g == w
 
 
 def test_image_ahash_properties(ray_session):
