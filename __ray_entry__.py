@@ -912,7 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_anomalies": _q_events_anomalies,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
-        "events_users_hll": _q_events_users_hll,  # rows-only (sketch, approximate by design)
+        "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
         # --- (a) relational tail ---
@@ -1563,6 +1563,12 @@ def _dedup_oracle_sql() -> dict[str, str]:
     }
 
 
+def _hll_sidecar_path() -> str:
+    from rios_ray.pipelines.events import ensure_hll_sidecar
+
+    return ensure_hll_sidecar(SF001)
+
+
 def _simhash_sidecar_path() -> str:
     from rios_ray.pipelines.dedup import ensure_simhash_sidecar
 
@@ -1806,7 +1812,12 @@ def _relational_oracle_sql() -> dict[str, str]:
 def _events_oracle_sql() -> dict[str, str]:
     """Window oracles over the ``events`` view.  Counts and min/max only
     (float sums are not associativity-stable across engines)."""
-    from rios_ray.pipelines.events import DEFAULT_GAP_US, DEFAULT_WINDOW_US
+    from rios_ray.pipelines.events import (
+        DEFAULT_GAP_US,
+        DEFAULT_WINDOW_US,
+        HLL_ALPHA_NUM as _HLL_ALPHA_NUM,
+        HLL_M as _HLL_M,
+    )
 
     W, GAP = DEFAULT_WINDOW_US, DEFAULT_GAP_US
     return {
@@ -1814,6 +1825,40 @@ def _events_oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
               FROM events GROUP BY 1
+        """,
+        # HLL register-merge + estimator recomputed in SQL over the
+        # scalar per-(window,user) register sidecar (ensure_hll_sidecar
+        # — independent splitmix64/bit_length path).  The raw-branch
+        # numerator literal and the floor(x*10+0.5)/10 rounding are
+        # shared with _hll_estimate/_round1 so every float op is the
+        # identical IEEE operation in both engines; LN is bit-identical
+        # libm here (verified 0/4095 mismatches).
+        "events_users_hll": f"""
+            WITH maxed AS (
+                SELECT "window", reg_idx, MAX(rho) AS r
+                  FROM read_parquet('{_hll_sidecar_path()}')
+                 GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT "window",
+                       {_HLL_M} - count(*) AS zeros,
+                       SUM(CAST(POWER(2.0, 64 - r) AS HUGEINT)) AS nz_denom
+                  FROM maxed GROUP BY 1
+            ),
+            est AS (
+                SELECT "window", zeros,
+                       {_HLL_ALPHA_NUM!r} / CAST(
+                           nz_denom + CAST(zeros AS HUGEINT)
+                                      * CAST(POWER(2.0, 64) AS HUGEINT)
+                           AS DOUBLE) AS raw
+                  FROM agg
+            )
+            SELECT "window",
+                   floor((CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+                               THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+                               ELSE raw END) * 10.0 + 0.5) / 10.0
+                     AS n_users_approx
+              FROM est
         """,
         "events_bigrams": """
             WITH s AS (

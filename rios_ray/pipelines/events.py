@@ -218,14 +218,38 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+HLL_M = 1 << HLL_P
+# alpha_m * m^2 * 2^64: the raw-estimator numerator, precomputed once and
+# embedded (via repr) into the SQL oracle so the one float division is
+# the identical IEEE operation in both engines
+HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * 2.0**64
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized ``int.bit_length`` for nonzero uint64 values.
+
+    float64 log2 gets within 1 of the answer; the two integer-exact
+    boundary fixes catch the ~2^-53-measure inputs where the float
+    rounds across a power-of-2 boundary — without them the vectorized
+    path could diverge from a scalar ``bit_length`` oracle (the HLL
+    sidecar) on adversarial values."""
+    k = np.floor(np.log2(x.astype(np.float64))).astype(np.int64)
+    k = np.clip(k, 0, 63)
+    k = k - ((np.uint64(1) << k.astype(np.uint64)) > x)
+    bump = (k < 63) & (
+        (np.uint64(1) << np.minimum(k + 1, 63).astype(np.uint64)) <= x
+    )
+    return k + bump + 1  # now 2^(k) <= x < 2^(k+1) exactly
+
+
 def _hll_registers(ids: np.ndarray, p: int = HLL_P) -> np.ndarray:
     """Dense HLL register array for a batch of int ids (vectorized)."""
     m = 1 << p
     h = _splitmix64(ids)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # guard bit
-    # rho = leading zeros of rest + 1, via float64 exponent extraction
-    rho = (64 - np.floor(np.log2(rest.astype(np.float64) + 0.5)).astype(np.int64)).clip(1, 64 - p + 1)
+    # rho = leading zeros of rest + 1 = 65 - bit_length(rest)
+    rho = (np.int64(65) - _bit_length_u64(rest)).clip(1, 64 - p + 1)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rho.astype(np.uint8))
     return regs
@@ -233,14 +257,36 @@ def _hll_registers(ids: np.ndarray, p: int = HLL_P) -> np.ndarray:
 
 def _hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range (linear counting)
-    correction (Flajolet et al. 2007)."""
-    m = float(len(regs))
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
-    return float(est)
+    correction (Flajolet et al. 2007) — computed DETERMINISTICALLY so
+    the DuckDB oracle reproduces it bit-for-bit:
+
+    - the raw-branch denominator sum(2^-r) is accumulated as an exact
+      Python integer (x 2^64), then divided in ONE float op;
+    - the linear-counting branch needs only the integer zero-register
+      count and one ``ln`` (bit-identical libm here, verified);
+    - callers round with :func:`_round1` (floor(x*10+0.5)/10 — Python's
+      ``round`` does decimal-string rounding SQL can't mirror).
+
+    The only cross-engine wobble left is DuckDB's double-rounded
+    HUGEINT->DOUBLE cast in the raw branch (last-ulp, ~0.03% of random
+    denominators) — unreachable at gate configs, where every window is
+    far below the 2.5m linear-counting threshold."""
+    import math
+
+    cnt = np.bincount(regs, minlength=65)
+    denom = sum(int(c) << (64 - r) for r, c in enumerate(cnt) if c)
+    est = HLL_ALPHA_NUM / float(denom)
+    zeros = int(cnt[0])
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * math.log(HLL_M / zeros)
+    return est
+
+
+def _round1(x: float) -> float:
+    """Deterministic 1-decimal rounding shared with the SQL oracle."""
+    import math
+
+    return math.floor(x * 10.0 + 0.5) / 10.0
 
 
 def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
@@ -252,8 +298,10 @@ def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
     tree-combine freely), the driver estimates from one register array
     per window.  Exchange volume is O(windows x batches x 4 KiB),
     independent of user cardinality.  Approximate by design (~1.6%
-    rel. error at p=12) -> no SQL oracle; accuracy asserted vs the
-    exact operator in tests.
+    rel. error at p=12; accuracy asserted vs the exact operator in
+    tests) — but DETERMINISTIC, so the register-merge math and the
+    estimator formula are SQL-gated end-to-end against the scalar
+    per-(window,user) register sidecar (:func:`ensure_hll_sidecar`).
     """
     import pandas as pd
 
@@ -291,13 +339,68 @@ def distinct_users_hll(sf_dir: str, window_us: int = DEFAULT_WINDOW_US):
             for i in sel:
                 regs = np.maximum(regs, np.frombuffer(blobs[i], dtype=np.uint8))
             out.append({"window": int(win),
-                        "n_users_approx": round(_hll_estimate(regs), 1)})
+                        "n_users_approx": _round1(_hll_estimate(regs))})
         return pa.Table.from_pylist(
             out,
             schema=pa.schema([("window", pa.int64()), ("n_users_approx", pa.float64())]),
         )
 
     return hash_partitioned_groups(ds, ["window"], merge)
+
+
+def ensure_hll_sidecar(sf_dir: str, window_us: int = DEFAULT_WINDOW_US) -> str:
+    """Deterministic (window, reg_idx, rho) parquet — one row per
+    distinct (window, user) — the independent input the DuckDB oracle
+    reads to gate ``distinct_users_hll`` end to end (register maxes via
+    ``GROUP BY window, reg_idx -> MAX(rho)``, then the estimator
+    formula in SQL).
+
+    No Ray involved, and deliberately the SCALAR path — Python-int
+    splitmix64 and ``int.bit_length`` leading-zero counts — so the
+    sidecar independently cross-checks the pipeline's vectorized
+    avalanche and float-log2 rho extraction, not just the merge (the
+    ``ensure_simhash_sidecar`` pattern).  Cached under /tmp/graft_synth.
+    """
+    import pyarrow.parquet as pq
+
+    from ..synth import PAGES_ROOT
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(PAGES_ROOT, name, f"hll_regs_w{window_us}.parquet")
+    if not os.path.exists(out):
+        m64 = (1 << 64) - 1
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        )
+        ts = tbl["ts"].cast(pa.int64()).to_pylist()
+        uids = tbl["user_id"].to_pylist()
+        seen: set = set()
+        wins, idxs, rhos = [], [], []
+        for t, u in zip(ts, uids):
+            w = t // window_us
+            if (w, u) in seen:
+                continue
+            seen.add((w, u))
+            x = (u + 0x9E3779B97F4A7C15) & m64
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m64
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m64
+            x = x ^ (x >> 31)
+            rest = ((x << HLL_P) & m64) | (1 << (HLL_P - 1))  # guard bit
+            wins.append(w)
+            idxs.append(x >> (64 - HLL_P))
+            rhos.append(65 - rest.bit_length())
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        pq.write_table(
+            pa.table({
+                "window": pa.array(wins, type=pa.int64()),
+                "reg_idx": pa.array(idxs, type=pa.int64()),
+                "rho": pa.array(rhos, type=pa.int64()),
+            }),
+            tmp,
+        )
+        os.replace(tmp, out)
+    return out
 
 
 def _user_segments(rank: np.ndarray, e: np.ndarray):

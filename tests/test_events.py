@@ -127,6 +127,57 @@ def test_hll_register_merge_associative():
     assert abs(_hll_estimate(whole) - exact) / exact < 0.05
 
 
+def test_bit_length_u64_exact():
+    """Vectorized bit_length matches int.bit_length on adversarial
+    values around every power-of-2 boundary (where raw float log2
+    rounds across) plus random uint64."""
+    import numpy as np
+
+    from rios_ray.pipelines.events import _bit_length_u64
+
+    vals = []
+    for k in range(1, 64):
+        for d in (-2, -1, 0, 1, 2):
+            v = (1 << k) + d
+            if v >= 1:
+                vals.append(v)
+    vals.append((1 << 64) - 1)
+    rng = np.random.default_rng(11)
+    vals.extend(int(x) | 1 for x in rng.integers(1, 1 << 63, size=5000))
+    arr = np.array(vals, dtype=np.uint64)
+    got = _bit_length_u64(arr)
+    want = np.array([v.bit_length() for v in vals], dtype=np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_hll_sidecar_matches_pipeline_registers(ray_session):
+    """The scalar sidecar's merged registers equal the pipeline's
+    vectorized ones (independent splitmix64/bit_length recompute)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rios_ray.pipelines.events import (
+        DEFAULT_WINDOW_US,
+        HLL_P,
+        _hll_registers,
+        ensure_hll_sidecar,
+        read_events,
+    )
+
+    side = pq.read_table(ensure_hll_sidecar(SF)).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    w = ev["ts"].astype("int64") // DEFAULT_WINDOW_US
+    m = 1 << HLL_P
+    for win in side["window"].unique()[:10]:
+        ids = ev.loc[w == win, "user_id"].to_numpy()
+        regs = _hll_registers(ids)
+        sw = side[side["window"] == win]
+        merged = np.zeros(m, dtype=np.uint8)
+        np.maximum.at(merged, sw["reg_idx"].to_numpy(),
+                      sw["rho"].to_numpy().astype(np.uint8))
+        assert np.array_equal(regs, merged), win
+
+
 def test_asof_last_event_vs_duckdb(ray_session, con):
     """As-of join vs DuckDB's native ASOF JOIN semantics (latest right
     at-or-before the left, per user)."""
