@@ -259,12 +259,13 @@ class ApplierControls:
         self._set("filter_sql", filtersql, vectorname)
 
     def setAlltouched(self, alltouched, vectorname=None):
-        """Only the GDAL default pixel-CENTER rule is implemented;
-        ``True`` (burn every touched pixel) raises."""
-        if alltouched:
-            raise NotImplementedError(
-                "allTouched=True is not implemented (center rule only)"
-            )
+        """``False`` (default): GDAL's pixel-CENTER rule.  ``True``:
+        burn every pixel the polygon touches — center-inside pixels
+        plus the supercover of every boundary edge
+        (:func:`rios_ray.spatial.supercover_cells`; the reference
+        passes ALL_TOUCHED to GDAL, applier.py:713-728 /
+        imagereader.py:256-271).  Edge-on-gridline ties burn the
+        floor() side (right/below), deterministically."""
         self._set("alltouched", bool(alltouched), vectorname)
 
     def setVectorDatatype(self, vectordatatype, vectorname=None):
@@ -813,11 +814,29 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir,
     ]
 
     x_min, y_max, xr, yr = wg.x_min, wg.y_max, wg.x_res, wg.y_res
+    all_touched = bool(opt("alltouched"))
 
     def burn_block(batch: pa.Table) -> pa.Table:
+        from .spatial import supercover_cells
+
         tbl, burns_, order_ = ray.get(table_ref)
         index = PolygonIndex.from_arrow(tbl)
-        id_pos = {int(p): i for i, p in enumerate(tbl["poly_id"].to_pylist())}
+        tbl_ids = tbl["poly_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # map global poly_id -> table position (vectorized), and table
+        # position -> file rank for the last-in-file-order overlap rule
+        id_sort = np.argsort(tbl_ids)
+        ids_sorted = tbl_ids[id_sort]
+        rank_of_pos = np.array(
+            [order_[int(p)] for p in tbl_ids], dtype=np.int64
+        )
+        if all_touched:
+            # polygon edges in continuous pixel coordinates, once per task
+            ec1 = (index.ex1 - x_min) / xr
+            er1 = (y_max - index.ey1) / yr
+            ec2 = (index.ex2 - x_min) / xr
+            er2 = (y_max - index.ey2) / yr
+            elo_c, ehi_c = np.minimum(ec1, ec2), np.maximum(ec1, ec2)
+            elo_r, ehi_r = np.minimum(er1, er2), np.maximum(er1, er2)
         rows = []
         for rec in batch.to_pylist():
             top, left = rec["top"], rec["left"]
@@ -827,15 +846,41 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir,
             px = np.repeat(cx[None, :], nr, axis=0).ravel()
             py = np.repeat(cy[:, None], nc, axis=1).ravel()
             pt_idx, poly_ids = index.contains(px, py)
+            pos = (
+                id_sort[np.searchsorted(ids_sorted, poly_ids)]
+                if len(pt_idx)
+                else np.empty(0, np.int64)
+            )
+            idx_parts, pos_parts = [pt_idx], [pos]
+            if all_touched:
+                # supercover of every edge whose pixel bbox meets the
+                # block: all-touched = center-inside UNION edge cells
+                # (a cell meeting the interior with its center outside
+                # must contain boundary)
+                m = (
+                    (ehi_c >= left) & (elo_c < left + nc)
+                    & (ehi_r >= top) & (elo_r < top + nr)
+                )
+                if m.any():
+                    sel = np.flatnonzero(m)
+                    sidx, rws, cls_ = supercover_cells(
+                        ec1[sel], er1[sel], ec2[sel], er2[sel]
+                    )
+                    inb = (
+                        (rws >= top) & (rws < top + nr)
+                        & (cls_ >= left) & (cls_ < left + nc)
+                    )
+                    sidx, rws, cls_ = sidx[inb], rws[inb], cls_[inb]
+                    idx_parts.append((rws - top) * nc + (cls_ - left))
+                    pos_parts.append(index.epoly[sel[sidx]])
             mask = np.full(nr * nc, v_null, dtype=v_dtype)
-            if len(pt_idx):
+            idx_all = np.concatenate(idx_parts)
+            if len(idx_all):
+                pos_all = np.concatenate(pos_parts)
                 # overlap rule: keep the pair whose polygon is LAST in
                 # file order (sort by rank, later assignments overwrite)
-                rank = np.array([order_[int(p)] for p in poly_ids])
-                srt = np.argsort(rank, kind="stable")
-                mask[pt_idx[srt]] = burns_[
-                    [id_pos[int(p)] for p in poly_ids[srt]]
-                ]
+                srt = np.argsort(rank_of_pos[pos_all], kind="stable")
+                mask[idx_all[srt]] = burns_[pos_all[srt]]
             rows.append(
                 {
                     "tile_y": top // B_y,

@@ -273,3 +273,83 @@ class CellPointIndex:
         if best is not None:
             return best
         return np.empty(0), np.empty(0, dtype=self.payload.dtype)
+
+
+def supercover_cells(
+    c0: np.ndarray, r0: np.ndarray, c1: np.ndarray, r1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All integer grid cells (row, col) each segment passes through.
+
+    Segments are given in CONTINUOUS cell coordinates ((c, r) =
+    (column, row), cell (i, j) spanning [j, j+1) x [i, i+1)), and the
+    kernel is vectorized over the whole segment batch: grid-line
+    crossing parameters are generated flat (repeat/cumsum offsets, no
+    per-segment Python), sorted once with a single lexsort, and each
+    cell is read off at the midpoint between consecutive crossings —
+    exactly the cells whose interior the segment enters (the
+    "supercover" of the segment).  A segment lying exactly ON a grid
+    line burns the floor() side only (right/below) — a deterministic
+    tie rule documented in lieu of GDAL's half-open edge conventions
+    (the reference delegates to GDAL ALL_TOUCHED,
+    /root/reference/rios/applier.py:713-728).
+
+    Returns ``(seg_idx, rows, cols)`` int64 arrays; duplicates are
+    possible where a segment passes within float epsilon of a corner —
+    callers dedupe after composing flat pixel indices.
+    """
+    c0 = np.asarray(c0, dtype=np.float64)
+    r0 = np.asarray(r0, dtype=np.float64)
+    c1 = np.asarray(c1, dtype=np.float64)
+    r1 = np.asarray(r1, dtype=np.float64)
+    n = len(c0)
+    empty = (np.empty(0, np.int64),) * 3
+    if n == 0:
+        return empty
+    dc, dr = c1 - c0, r1 - r0
+    # integer grid lines STRICTLY inside each extent (endpoints are the
+    # t=0/1 entries); extents flat on a line contribute none (dc==0 ->
+    # floor(cmax) - (floor(cmin)+1) + 1 <= 0)
+    cmin, cmax = np.minimum(c0, c1), np.maximum(c0, c1)
+    rmin, rmax = np.minimum(r0, r1), np.maximum(r0, r1)
+    kc0 = np.floor(cmin) + 1.0
+    kr0 = np.floor(rmin) + 1.0
+    nx = np.maximum(np.floor(cmax) - kc0 + 1.0, 0.0).astype(np.int64)
+    ny = np.maximum(np.floor(rmax) - kr0 + 1.0, 0.0).astype(np.int64)
+    nx[dc == 0.0] = 0
+    ny[dr == 0.0] = 0
+
+    n_t = 2 + nx + ny
+    off = np.concatenate([[0], np.cumsum(n_t)]).astype(np.int64)
+    total = int(off[-1])
+    t = np.empty(total, dtype=np.float64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), n_t)
+    t[off[:-1]] = 0.0
+    t[off[:-1] + 1] = 1.0
+
+    def fill(base_pos, counts, k_first, p0, dp):
+        tot = int(counts.sum())
+        if not tot:
+            return
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        pos = np.repeat(base_pos, counts) + within
+        ks = np.repeat(k_first, counts) + within
+        t[pos] = (ks - np.repeat(p0, counts)) / np.repeat(dp, counts)
+
+    fill(off[:-1] + 2, nx, kc0, c0, dc)
+    fill(off[:-1] + 2 + nx, ny, kr0, r0, dr)
+    np.clip(t, 0.0, 1.0, out=t)
+
+    order = np.lexsort((t, seg))
+    t_s = t[order]
+    # midpoints of consecutive crossing intervals within each segment
+    last = off[1:] - 1  # last slot of each segment after the stable sort
+    keep = np.ones(total, dtype=bool)
+    keep[last] = False
+    i = np.flatnonzero(keep)
+    tm = 0.5 * (t_s[i] + t_s[i + 1])
+    sm = seg[i]  # seg is already grouped ascending; lexsort keeps groups
+    col = np.floor(c0[sm] + tm * dc[sm]).astype(np.int64)
+    row = np.floor(r0[sm] + tm * dr[sm]).astype(np.int64)
+    return sm, row, col

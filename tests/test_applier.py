@@ -334,6 +334,45 @@ def test_vector_input_masked_mean(fixtures, ray_session, tmp_path):
     assert np.array_equal(got_mask, expect)
 
 
+def test_vector_all_touched_golden_diff(fixtures, ray_session, tmp_path):
+    """allTouched=True burns every pixel the square touches: the
+    center rule's [31:51, 11:31] plus the boundary row 30 and column
+    10 the edges pass through (square spans pixel coords 10.6-30.6 x
+    30.6-50.6) — the supercover union, golden vs the center rule."""
+    from rios_ray.applier import VectorInput
+
+    polys = _square_polys()
+
+    def copy_mask(info, inputs, outputs):
+        outputs.out = inputs.mask
+
+    controls = ApplierControls()
+    controls.setReference("img")
+    controls.setCalcStats(False)
+    controls.setAlltouched(True, "mask")
+    out_path = str(tmp_path / "at_mask.parquet")
+    apply(
+        copy_mask,
+        {"img": fixtures["ramp"].path,
+         "mask": VectorInput(polys, burn_col="burn_value", where=("category", "mask"))},
+        {"out": out_path},
+        controls=controls,
+        out_dir=str(tmp_path),
+    )
+    got = _read_back(out_path)[0]
+    expect = np.zeros((500, 500), dtype=got.dtype)
+    expect[30:51, 10:31] = 7
+    assert np.array_equal(got, expect)
+    # explicit golden DIFF vs the center rule: one extra row + column
+    center = np.zeros_like(expect)
+    center[31:51, 11:31] = 7
+    diff = np.argwhere((got != 0) & (center == 0))
+    assert set(map(tuple, diff)) == (
+        {(30, c) for c in range(10, 31)} | {(r, 10) for r in range(30, 51)}
+    )
+    assert ((got != 0) >= (center != 0)).all()  # superset of center rule
+
+
 def test_vector_input_non_intersecting_empty(fixtures, ray_session, tmp_path):
     """Non-intersecting vector yields an all-zero mask
     (testvector.py:76-83 parity)."""

@@ -292,8 +292,8 @@ def test_vector_controls(ramp, tmp_path):
 
 def test_vector_guards_and_recorded_setters():
     controls = ApplierControls()
-    with pytest.raises(NotImplementedError):
-        controls.setAlltouched(True)
+    controls.setAlltouched(True)  # supercover rule, implemented round 4
+    assert controls.getOptionForImagename("alltouched", None) is True
     controls.setAlltouched(False)
     with pytest.raises(ValueError):
         controls.setVectorlayer(1)

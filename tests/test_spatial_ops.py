@@ -425,3 +425,40 @@ def test_cell_gradient_vs_numpy(ray_session):
         y, x = divmod(int(c), nx)
         assert got.loc[c, "gx"] == gx[y, x] and got.loc[c, "gy"] == gy[y, x], c
     assert (got[["gx", "gy"]].abs().to_numpy() > 0).any()
+
+
+def test_supercover_cells_vs_sampling_oracle():
+    """Vectorized supercover matches a dense-sampling scalar oracle on
+    random segments, handles on-gridline and degenerate segments with
+    the documented floor()-side tie rule, and the batch path equals
+    per-segment calls."""
+    import numpy as np
+
+    from rios_ray.spatial import supercover_cells
+
+    def oracle(c0, r0, c1, r1, steps=200001):
+        ts = np.linspace(0.0, 1.0, steps)
+        cols = np.floor(c0 + ts * (c1 - c0)).astype(int)
+        rows = np.floor(r0 + ts * (r1 - r0)).astype(int)
+        return set(zip(rows, cols))
+
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        c0, r0, c1, r1 = rng.uniform(-5, 15, 4)
+        s, rw, cl = supercover_cells([c0], [r0], [c1], [r1])
+        assert set(zip(rw.tolist(), cl.tolist())) == oracle(c0, r0, c1, r1)
+    # vertical segment exactly on a grid line: floor() side only
+    s, rw, cl = supercover_cells([2.0], [0.5], [2.0], [3.5])
+    assert set(zip(rw.tolist(), cl.tolist())) == {(i, 2) for i in range(4)}
+    # degenerate point segment
+    s, rw, cl = supercover_cells([1.5], [1.5], [1.5], [1.5])
+    assert set(zip(rw.tolist(), cl.tolist())) == {(1, 1)}
+    # batch path == per-segment calls
+    segs = rng.uniform(-5, 15, (30, 4))
+    sb, rb, cb = supercover_cells(segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3])
+    for i in range(30):
+        m = sb == i
+        one = supercover_cells(*(segs[i:i + 1, j] for j in range(4)))
+        assert set(zip(rb[m].tolist(), cb[m].tolist())) == set(
+            zip(one[1].tolist(), one[2].tolist())
+        )
