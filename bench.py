@@ -227,6 +227,17 @@ def run_bench() -> dict:
 
         return cell_gradient(sf_dir).count()
 
+    def decon_100k():
+        # ~100k probes (every 2nd doc seeds its first 40 overlapping
+        # trigrams; measured ~86k at sf0.1): the hashed-membership scale
+        # path — one searchsorted per batch, cost independent of probe
+        # count (substring would be 10^5 full-column scans per batch)
+        from rios_ray.pipelines.text import decontaminate
+
+        return decontaminate(
+            sf_dir, every=2, probes_per_doc=40, method="ngram"
+        ).count()
+
     def hitters():
         from rios_ray.pipelines.text import heavy_hitter_tokens
 
@@ -286,6 +297,7 @@ def run_bench() -> dict:
         "events_funnel": funnel,
         "dedup_winnow": winnow,
         "heavy_hitters": hitters,
+        "decontaminate_100k": decon_100k,
         "media_frames": media_frames,
         "tfidf_top_terms": tfidf,
         "bigram_lm": bigrams_lm,

@@ -117,19 +117,49 @@ DECON_TOKENS = 3  # leading-token n-gram used as the benchmark probe
 DECON_EVERY = 100  # every doc_id % DECON_EVERY == 0 doc seeds the bench set
 
 
-def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EVERY):
+def _gram_keys(tok_flat: "np.ndarray", starts: "np.ndarray", n: int):
+    """u64 keys of the token n-grams starting at ``starts`` within the
+    flat token array — an order-sensitive chained mix of per-token FNV
+    hashes (no joined-string allocation per position)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..dedup.hashing import fnv1a64_arrow
+
+    h = fnv1a64_arrow(pa.array(tok_flat, type=pa.string()))
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        key = h[starts].copy()
+        for j in range(1, n):
+            key = key * mix ^ h[starts + j]
+    return key
+
+
+def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS,
+                  every: int = DECON_EVERY, method: str = "substring",
+                  probes_per_doc: int = 1):
     """Benchmark decontamination: flag corpus documents containing any
-    benchmark probe string.
+    benchmark probe, one output row per contaminated doc with the
+    number of probes found (probe multiplicity counted, each probe at
+    most once per doc).
 
     The "benchmark" set is derived deterministically (every
     ``every``-th doc's first ``tokens`` whitespace tokens); real use
-    substitutes published eval-set n-grams.  Scale shape: the probe set
-    is small by construction (eval suites ≪ corpus), so it is collected
-    driver-side once, shipped via ``ray.put`` and scanned per batch
-    with vectorized substring kernels — a broadcast semi-join, no
-    shuffle.  K probe passes per batch is O(K) RE2-free memmem scans;
-    for K beyond ~10^4 the scale path is an Aho-Corasick automaton
-    built once per actor in ``__init__``.
+    substitutes published eval-set n-grams.  Probes are small by
+    construction (eval suites ≪ corpus), so both methods are broadcast
+    semi-joins — shipped once via ``ray.put``, no shuffle:
+
+    - ``"substring"``: one vectorized ``match_substring`` memmem scan
+      per probe per batch.  Right for tens-to-hundreds of probes;
+      O(probes) full-column scans if someone loads 100k probes.
+    - ``"ngram"`` (the scale path): hash every token-aligned n-gram of
+      each document once and test membership against the SORTED probe-
+      key array with one searchsorted per batch (the
+      ``doc_bigram_coverage`` membership trick) — cost is
+      O(doc_tokens + log probes) per batch regardless of probe count.
+      Token-ALIGNED matching is the standard eval-decontamination
+      definition; it differs from substring only when a probe matches
+      mid-token (e.g. probe "a b" inside "xa b").
 
     Returns contaminated (doc_id, n_hits) rows, doc_id ascending not
     guaranteed (order-insensitive result).
@@ -145,10 +175,78 @@ def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EV
     bench = read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
         keep_bench, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
-    grams = [" ".join(t.split(" ")[:tokens]) for t in bench["text"]]
+    # ``probes_per_doc`` > 1 seeds the doc's first N overlapping
+    # (stride-1) grams — the bench.py knob for driving the probe count
+    # to 10^5 (real use loads the published eval-set n-grams instead).
+    # The j=0 probe keeps the oracle's list_slice semantics (short docs
+    # yield short probes); extra probes require full n-grams.
+    grams = []
+    for t in bench["text"]:
+        toks = t.split(" ")
+        grams.append(" ".join(toks[:tokens]))
+        for j in range(1, probes_per_doc):
+            seg = toks[j:j + tokens]
+            if len(seg) == tokens:
+                grams.append(" ".join(seg))
     # an empty probe (empty bench doc) would match_substring('') every
     # row and flag the whole corpus — drop them (oracle SQL mirrors)
     grams = [g for g in grams if g]
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    if method == "ngram":
+        # token-aligned matching can only represent FULL n-gram probes;
+        # short-doc probes (oracle's list_slice tail) are dropped here,
+        # documented — the equality test covers the fixture where none
+        # exist.  Duplicate probes count once per occurrence in the
+        # bench list (mirrors the substring loop): unique keys + counts.
+        full = [g for g in grams if g.count(" ") == tokens - 1]
+        pk = _gram_keys(
+            np.concatenate([g.split(" ") for g in full])
+            if full else np.zeros(0, object),
+            np.arange(0, len(full) * tokens, tokens, dtype=np.int64),
+            tokens,
+        )
+        ukeys, mult = np.unique(pk, return_counts=True)
+        probes_ref = ray.put((ukeys, mult.astype(np.int64)))
+
+        def flag_ngram(b: pa.Table) -> pa.Table:
+            known, weight = ray.get(probes_ref)
+            b = b.filter(pa.array(b["doc_id"].to_numpy() % every != 0))
+            df = b.to_pandas()
+            tok = df["text"].str.split(" ")
+            lens = tok.str.len().to_numpy().astype(np.int64)
+            n_grams = np.maximum(lens - tokens + 1, 0)
+            hits = np.zeros(len(df), dtype=np.int64)
+            if n_grams.sum() and len(known):
+                flat = np.concatenate(tok.to_numpy())
+                doc_tok0 = np.cumsum(lens) - lens
+                within = np.arange(int(n_grams.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(n_grams) - n_grams, n_grams
+                )
+                starts = np.repeat(doc_tok0, n_grams) + within
+                keys = _gram_keys(flat, starts, tokens)
+                pos = np.minimum(np.searchsorted(known, keys), len(known) - 1)
+                hit = known[pos] == keys
+                doc_of = np.repeat(np.arange(len(df), dtype=np.int64), n_grams)
+                # each probe at most once per doc: dedupe (doc, probe) pairs
+                packed = np.unique(doc_of[hit] * np.int64(len(known)) + pos[hit])
+                hits = np.bincount(
+                    packed // len(known),
+                    weights=weight[packed % len(known)].astype(np.float64),
+                    minlength=len(df),
+                ).astype(np.int64)
+            mask = hits > 0
+            return pa.table({
+                "doc_id": pa.array(df["doc_id"].to_numpy()[mask], type=pa.int64()),
+                "n_hits": pa.array(hits[mask]),
+            })
+
+        return ds.map_batches(
+            flag_ngram, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH_SIZE,
+        )
+
     grams_ref = ray.put(grams)
 
     def flag(b: pa.Table) -> pa.Table:
@@ -167,7 +265,6 @@ def decontaminate(sf_dir: str, tokens: int = DECON_TOKENS, every: int = DECON_EV
             }
         )
 
-    ds = read_documents(sf_dir, columns=["doc_id", "text"])
     return ds.map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH_SIZE
     )

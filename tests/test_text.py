@@ -214,6 +214,34 @@ def test_decontaminate_vs_duckdb(ray_session, con):
     assert len(got) > 0, "fixture should contain at least one contaminated doc"
 
 
+def test_decontaminate_ngram_equals_substring(ray_session):
+    """The hashed-membership scale path (one searchsorted per batch,
+    cost independent of probe count) matches the per-probe substring
+    scan exactly on the gate config; with a dense multi-probe bench set
+    it is the token-ALIGNED subset of the substring result (substring
+    additionally matches probes mid-token, e.g. 'a key part' inside
+    'data key part' — the fixture contains such cases)."""
+    from rios_ray.pipelines.text import decontaminate
+
+    a = decontaminate(SF, method="substring").to_pandas()
+    b = decontaminate(SF, method="ngram").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["n_hits"].tolist() == b["n_hits"].tolist()
+
+    kw = {"every": 10, "probes_per_doc": 5}
+    a = decontaminate(SF, method="substring", **kw).to_pandas().set_index("doc_id")
+    b = decontaminate(SF, method="ngram", **kw).to_pandas().set_index("doc_id")
+    assert len(b) > 0
+    assert set(b.index) <= set(a.index)  # aligned matches are a subset
+    joined = a.join(b, how="inner", lsuffix="_s", rsuffix="_n")
+    assert (joined["n_hits_n"] <= joined["n_hits_s"]).all()
+    # the fixture genuinely exercises the semantic difference
+    assert set(a.index) - set(b.index)
+
+
 def test_vocab_topk_vs_duckdb(ray_session, con):
     from rios_ray.pipelines.text import vocab_topk
 
