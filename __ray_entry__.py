@@ -639,6 +639,24 @@ def _q_rel_q7(sf_dir: str):
     return q7_volume_shipping(sf_dir)
 
 
+def _q_rel_q13(sf_dir: str):
+    from rios_ray.pipelines.relational import q13_customer_distribution
+
+    return q13_customer_distribution(sf_dir)
+
+
+def _q_rel_q17(sf_dir: str):
+    from rios_ray.pipelines.relational import q17_small_quantity_revenue
+
+    return q17_small_quantity_revenue(sf_dir)
+
+
+def _q_rel_q21(sf_dir: str):
+    from rios_ray.pipelines.relational import q21_returns_suppliers
+
+    return q21_returns_suppliers(sf_dir)
+
+
 def _q_rel_q4(sf_dir: str):
     from rios_ray.pipelines import relational as R
 
@@ -909,8 +927,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deltas": _q_events_value_deltas,
         "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
-        "events_retention": _q_events_retention,
-        "events_bigrams": _q_events_bigrams,
         "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
         "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
@@ -924,6 +940,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_gradient": _q_cell_gradient,
         "decontaminate": _q_decontaminate,
         "polygon_raster_cells": _q_polygon_raster_cells,
+        # --- NEW round 4 (q13 join-free distribution, q17 correlated
+        # --- avg self-join, q21 EXISTS+NOT EXISTS chain) ---
+        "rel_q13_customer_distribution": _q_rel_q13,
+        "rel_q17_small_quantity_revenue": _q_rel_q17,
+        "rel_q21_returns_suppliers": _q_rel_q21,
         # --- RAT / media / embeddings ---
         "rat_derive": _q_rat_derive,
         "rat_derive_store": _q_rat_derive_store,
@@ -937,7 +958,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
-        "lang_confusion": _q_lang_confusion,
         "doc_length_token_corr": _q_doc_corr,
         # --- (b) touched this round / flagship-critical ---
         "flagship_cell_category": _q_flagship,
@@ -963,6 +983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- green in r03 and untouched this round)
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
+        "events_retention": _q_events_retention,
+        "events_bigrams": _q_events_bigrams,
+        "lang_confusion": _q_lang_confusion,
         "rel_q22_idle_customers": _q_rel_q22,
         "rel_q14_type_revenue": _q_rel_q14,
         "dedup_minhash_clusters": _q_dedup_clusters,
@@ -1758,6 +1781,46 @@ def _relational_oracle_sql() -> dict[str, str]:
                AND l_discount >= CAST(0.05 AS DOUBLE)
                AND l_discount <= CAST(0.07 AS DOUBLE)
                AND l_quantity < 24
+        """,
+        "rel_q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                 GROUP BY 1
+            ) GROUP BY 1
+        """,
+        # qty*den*n < num*sum is the exact-integer form of
+        # qty < (num/den) * avg(qty) — no float average to diverge on
+        "rel_q17_small_quantity_revenue": """
+            WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+            ag AS (
+                SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS s,
+                       count(*) AS n
+                  FROM lineitem JOIN bp ON l_partkey = p_partkey
+                 GROUP BY 1
+            )
+            SELECT CAST(coalesce(sum(CAST(floor(l.l_extendedprice*100 + 0.5)
+                                     AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_lines
+              FROM lineitem l JOIN ag ON l.l_partkey = ag.l_partkey
+             WHERE CAST(l.l_quantity AS BIGINT) * 5 * ag.n < 1 * ag.s
+        """,
+        "rel_q21_returns_suppliers": """
+            SELECT s.s_suppkey, s.s_name
+              FROM supplier s
+             WHERE EXISTS (
+                     SELECT 1 FROM lineitem l JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_returnflag = 'R' AND o.o_orderstatus = 'F')
+               AND NOT EXISTS (
+                     SELECT 1 FROM lineitem l JOIN orders o
+                       ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_returnflag = 'R' AND l.l_quantity > 45
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_orderpriority = '1-URGENT')
         """,
         "rel_q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count

@@ -133,6 +133,11 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def rel_q21():
+        from rios_ray.pipelines.relational import q21_returns_suppliers
+
+        return q21_returns_suppliers(sf_dir).count()
+
     def sessions():
         from rios_ray.pipelines.events import session_windows
 
@@ -293,6 +298,7 @@ def run_bench() -> dict:
         "corpus_clean": clean,
         "rel_q1": rel_q1,
         "rel_q5": rel_q5,
+        "rel_q21": rel_q21,
         "events_sessions": sessions,
         "events_funnel": funnel,
         "dedup_winnow": winnow,

@@ -882,3 +882,268 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
         tagged, ["supp_nation", "cust_nation", "l_year"],
         [("rev_cents", "sum", "revenue_cents")],
     )
+
+
+def q13_customer_distribution(sf_dir: str) -> pa.Table:
+    """Q13-style customer-order-count distribution: for each order
+    count c_count (INCLUDING 0), the number of customers with exactly
+    that many orders — the LEFT OUTER JOIN + double-aggregate shape.
+
+    The plan exploits referential integrity to DELETE the join: every
+    ``o_custkey`` is a customer (FK contract of the fixture and of
+    TPC-H), so the >=1-order half of the distribution is a pure
+    re-aggregation of the per-customer order counts (combiner-first
+    exchange over custkey, then a tiny groupby over count values), and
+    the 0-orders bucket is ``count(customer) - count(distinct
+    ordering customers)`` — two scalar counts.  No customer-to-orders
+    exchange at any scale (the reference plan's LEFT JOIN exists only
+    to manufacture the zero bucket).
+    """
+    counts = hash_grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        ["o_custkey"],
+        [(None, "count", "c_count")],
+    ).materialize()
+    dist = hash_grouped_aggregate(
+        counts.select_columns(["c_count"]),
+        ["c_count"],
+        [(None, "count", "custdist")],
+    ).to_arrow_refs()
+    parts = [t for t in ray.get(dist) if t.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"c_count": pa.array([], pa.int64()), "custdist": pa.array([], pa.int64())}
+    )
+    n_zero = _read(sf_dir, "customer", ["c_custkey"]).count() - counts.count()
+    out = tbl.select(["c_count", "custdist"])
+    if n_zero > 0:  # emit the 0 bucket only when it exists (SQL parity)
+        out = pa.concat_tables([out, pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([n_zero], pa.int64())}
+        )])
+    return out
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#4", frac_num: int = 1, frac_den: int = 5,
+    broadcast_cap: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Q17-style small-quantity-order revenue: total extended price (in
+    integer cents) and count of lineitems for parts of ``brand`` whose
+    quantity is below ``frac_num/frac_den`` of that part's average
+    quantity — the correlated-average self-join.
+
+    Two passes over lineitem (unavoidable: the threshold is a function
+    of the full fact table): pass 1 builds per-part (sum_qty, n) for
+    the brand's parts; pass 2 re-scans with the thresholds attached and
+    keeps rows where ``qty * frac_den * n < frac_num * sum_qty`` —
+    EXACT integer math, no float average to diverge on.  The brand
+    part-key set and the per-part threshold map are small by
+    construction (one brand) and broadcast under ``broadcast_cap``;
+    past it the attach falls back to the partitioned lookup join.  The
+    final is the q6 scalar shape: one-row partials, repartition(1).
+    """
+    import pyarrow.compute as pc
+
+    def brand_parts(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["p_brand"], brand)).select(["p_partkey"])
+
+    part_keys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        brand_parts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH,
+    ).to_pandas()["p_partkey"].to_numpy()
+    pk_sorted = np.sort(part_keys)
+    pk_ref = ray.put(pk_sorted)
+
+    def brand_lines(b: pa.Table) -> pa.Table:
+        wanted = ray.get(pk_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(wanted, lp), max(len(wanted) - 1, 0))
+        keep = (wanted[pos] == lp) if len(wanted) else np.zeros(len(lp), bool)
+        b = b.filter(pa.array(keep))
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "cents": pa.array(_cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            )),
+        })
+
+    def li():
+        return _read(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(
+            brand_lines, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH,
+        )
+
+    thresholds = hash_grouped_aggregate(
+        li().select_columns(["l_partkey", "qty"]),
+        ["l_partkey"],
+        [("qty", "sum", "sum_qty"), (None, "count", "n")],
+    ).materialize()
+
+    if thresholds.count() > broadcast_cap:
+        from ..functions.join import partitioned_lookup_join
+
+        joined = partitioned_lookup_join(
+            li(), thresholds, "l_partkey", "l_partkey",
+            [("qty", pa.int64()), ("cents", pa.int64())],
+            [("sum_qty", pa.int64(), "sum_qty"), ("n", pa.int64(), "n")],
+            _join_partitions(),
+        )
+
+        def small_joined(b: pa.Table) -> pa.Table:
+            qty = b["qty"].to_numpy(zero_copy_only=False)
+            s = b["sum_qty"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            keep = qty * frac_den * n < frac_num * s
+            cents = b["cents"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            })
+
+        partials = joined.map_batches(
+            small_joined, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        th = thresholds.to_pandas().set_index("l_partkey")
+        tk = np.sort(th.index.to_numpy())
+        t_ref = ray.put((tk, th.loc[tk, "sum_qty"].to_numpy(),
+                         th.loc[tk, "n"].to_numpy()))
+
+        def small_bcast(b: pa.Table) -> pa.Table:
+            keys, sums, ns = ray.get(t_ref)
+            lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+            qty = b["qty"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(keys, lp), max(len(keys) - 1, 0))
+            hit = (keys[pos] == lp) if len(keys) else np.zeros(len(lp), bool)
+            keep = hit & (qty * frac_den * ns[pos] < frac_num * sums[pos])
+            cents = b["cents"].to_numpy(zero_copy_only=False)[keep]
+            return pa.table({
+                "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            })
+
+        partials = li().map_batches(
+            small_bcast, batch_format="pyarrow", batch_size=None
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(b["revenue_cents"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+            "n_lines": pa.array(
+                [int(b["n_lines"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q21_returns_suppliers(
+    sf_dir: str, status: str = "F", priority: str = "1-URGENT",
+    big_qty: float = 45.0, broadcast_cap: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Q21-style EXISTS + NOT EXISTS composition: suppliers with at
+    least one returned ('R') line in a finished (status ``'F'``) order,
+    EXCLUDING any supplier with a large (quantity > ``big_qty``)
+    returned line in a finished URGENT order.
+
+    The two fact-level subqueries (returned lines semi-joined to
+    qualifying orders) always run on the partitioned union exchange —
+    both sides are facts, arbitrarily large.  Their OUTPUT, reduced to
+    distinct supplier keys by the combiner-first aggregate, is bounded
+    by supplier cardinality: under ``broadcast_cap`` both key sets ship
+    once via ``ray.put`` and the EXISTS/NOT-EXISTS pair is a single
+    vectorized membership pass over the supplier scan (two searchsorted
+    per batch, zero further exchanges — measured 5.5 s -> ~3 s at
+    sf0.1/32cpus vs the chained-exchange path); past the cap it falls
+    back to two more partitioned exists-joins.  Right sides dedupe per
+    batch inside the exchange (membership only).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.join import partitioned_exists_join
+
+    def orders_where(prio: str | None):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["o_orderstatus"], status))
+            if prio is not None:
+                b = b.filter(pc.equal(b["o_orderpriority"], prio))
+            return b.select(["o_orderkey"])
+
+        return _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+        ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=BATCH)
+
+    def returned_lines(min_qty: float | None):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["l_returnflag"], "R"))
+            if min_qty is not None:
+                qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+                b = b.filter(pa.array(qty > min_qty))
+            return b.select(["l_orderkey", "l_suppkey"])
+
+        return _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag",
+                                 "l_quantity"]
+        ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=BATCH)
+
+    exists_keys = hash_grouped_aggregate(
+        partitioned_exists_join(
+            returned_lines(None), orders_where(None), "l_orderkey",
+            "o_orderkey", [("l_suppkey", pa.int64())], _join_partitions(),
+        ),
+        ["l_suppkey"], [(None, "count", "_n")],
+    ).materialize()
+    anti_keys = hash_grouped_aggregate(
+        partitioned_exists_join(
+            returned_lines(big_qty), orders_where(priority), "l_orderkey",
+            "o_orderkey", [("l_suppkey", pa.int64())], _join_partitions(),
+        ),
+        ["l_suppkey"], [(None, "count", "_n")],
+    ).materialize()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    if exists_keys.count() + anti_keys.count() <= broadcast_cap:
+        def keys_of(ds) -> np.ndarray:
+            parts = [
+                t["l_suppkey"].to_numpy(zero_copy_only=False)
+                for t in ray.get(ds.to_arrow_refs()) if t.num_rows
+            ]
+            return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+        ref = ray.put((keys_of(exists_keys), keys_of(anti_keys)))
+
+        def member(keys: np.ndarray, v: np.ndarray) -> np.ndarray:
+            if not len(keys):
+                return np.zeros(len(v), dtype=bool)
+            pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+            return keys[pos] == v
+
+        def both(b: pa.Table) -> pa.Table:
+            ek, ak = ray.get(ref)
+            sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(member(ek, sk) & ~member(ak, sk)))
+
+        return sup.map_batches(
+            both, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH,
+        )
+
+    sup = partitioned_exists_join(
+        sup, exists_keys, "s_suppkey", "l_suppkey",
+        [("s_suppkey", pa.int64()), ("s_name", pa.string())],
+        _join_partitions(),
+    )
+    return partitioned_exists_join(
+        sup, anti_keys, "s_suppkey", "l_suppkey",
+        [("s_suppkey", pa.int64()), ("s_name", pa.string())],
+        _join_partitions(), anti=True,
+    )

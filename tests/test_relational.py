@@ -12,7 +12,8 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier"):
+    for t in ("lineitem", "orders", "customer", "nation", "region", "supplier",
+              "part"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -379,3 +380,64 @@ def test_q7_volume_shipping_vs_duckdb(ray_session, con):
     # sf0.001 trade happens to be one-directional for this pair — both
     # directions are exercised by the driver query at sf0.01 (14 rows)
     assert len(got) > 0
+
+
+def test_q13_customer_distribution(ray_session, con):
+    got = R.q13_customer_distribution(SF).to_pandas().sort_values(
+        "c_count").reset_index(drop=True)
+    want = con.execute("""
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             GROUP BY 1
+        ) GROUP BY 1 ORDER BY 1""").df()
+    assert got["c_count"].tolist() == want["c_count"].tolist()
+    assert got["custdist"].tolist() == want["custdist"].tolist()
+    # distribution covers every customer exactly once
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+
+
+def test_q17_small_quantity_revenue(ray_session, con):
+    got = R.q17_small_quantity_revenue(SF, brand="Brand#4").to_pandas()
+    want = con.execute("""
+        WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+        ag AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS s,
+                      count(*) AS n
+                 FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1)
+        SELECT CAST(coalesce(sum(CAST(floor(l.l_extendedprice*100 + 0.5)
+                               AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+               count(*) AS n_lines
+          FROM lineitem l JOIN ag ON l.l_partkey = ag.l_partkey
+         WHERE CAST(l.l_quantity AS BIGINT) * 5 * ag.n < 1 * ag.s""").df()
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got["n_lines"].tolist() == want["n_lines"].tolist()
+    assert int(got["n_lines"][0]) > 0, "fixture should have small-qty lines"
+    # the partitioned fallback (past the broadcast cap) is path-equal
+    got2 = R.q17_small_quantity_revenue(SF, brand="Brand#4",
+                                        broadcast_cap=0).to_pandas()
+    assert got2["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got2["n_lines"].tolist() == want["n_lines"].tolist()
+
+
+def test_q21_returns_suppliers(ray_session, con):
+    got = R.q21_returns_suppliers(SF).to_pandas().sort_values(
+        "s_suppkey").reset_index(drop=True)
+    want = con.execute("""
+        SELECT s.s_suppkey, s.s_name FROM supplier s
+         WHERE EXISTS (SELECT 1 FROM lineitem l JOIN orders o
+                         ON l.l_orderkey = o.o_orderkey
+                        WHERE l.l_suppkey = s.s_suppkey
+                          AND l.l_returnflag = 'R' AND o.o_orderstatus = 'F')
+           AND NOT EXISTS (SELECT 1 FROM lineitem l JOIN orders o
+                             ON l.l_orderkey = o.o_orderkey
+                            WHERE l.l_suppkey = s.s_suppkey
+                              AND l.l_returnflag = 'R' AND l.l_quantity > 45
+                              AND o.o_orderstatus = 'F'
+                              AND o.o_orderpriority = '1-URGENT')
+         ORDER BY s_suppkey""").df()
+    assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+    assert got["s_name"].tolist() == want["s_name"].tolist()
+    # both the EXISTS and the NOT EXISTS side must bite on the fixture
+    n_sup = con.execute("SELECT count(*) FROM supplier").fetchone()[0]
+    assert 0 < len(got) < n_sup
