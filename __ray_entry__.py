@@ -469,6 +469,12 @@ def _q_dedup_minhash(sf_dir: str):
     return D.minhash_pairs(sf_dir, threshold=0.5)
 
 
+def _q_dedup_edit_pairs(sf_dir: str):
+    from rios_ray.pipelines import dedup as D
+
+    return D.edit_distance_pairs(sf_dir, threshold=0.5)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -925,7 +931,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": _q_events_value_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
         "events_value_deltas": _q_events_value_deltas,
-        "events_funnel": _q_events_funnel,
         "events_window_anomalies": _q_events_anomalies,
         "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
         "events_asof_join": _q_events_asof,
@@ -943,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW round 4 (q13 join-free distribution, q17 correlated
         # --- avg self-join, q21 EXISTS+NOT EXISTS chain) ---
         "rel_q13_customer_distribution": _q_rel_q13,
+        "dedup_edit_pairs": _q_dedup_edit_pairs,
         "rel_q17_small_quantity_revenue": _q_rel_q17,
         "rel_q21_returns_suppliers": _q_rel_q21,
         # --- RAT / media / embeddings ---
@@ -983,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- green in r03 and untouched this round)
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
+        "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1547,6 +1554,20 @@ def _dedup_oracle_sql() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=64)}",
         "dedup_minhash_pairs": f"WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)}",
+        # edit-distance verification of the SAME verified pair set:
+        # DuckDB's character-level levenshtein == the engine's byte-level
+        # kernel on this ASCII corpus (tests assert both)
+        "dedup_edit_pairs": f"""
+            WITH jp AS (
+                SELECT doc_a, doc_b
+                  FROM (WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)})
+            )
+            SELECT jp.doc_a, jp.doc_b,
+                   CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+              FROM jp
+              JOIN documents da ON da.doc_id = jp.doc_a
+              JOIN documents db ON db.doc_id = jp.doc_b
+        """,
         # transitive closure over the exact-Jaccard pairs (the oracle
         # for the distributed connected-components clustering step);
         # DuckDB's recursive UNION dedups, so the walk terminates

@@ -133,6 +133,11 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def edit_pairs():
+        from rios_ray.pipelines.dedup import edit_distance_pairs
+
+        return edit_distance_pairs(sf_dir, threshold=0.5).count()
+
     def rel_q21():
         from rios_ray.pipelines.relational import q21_returns_suppliers
 
@@ -294,6 +299,7 @@ def run_bench() -> dict:
         # non-spatial coverage (dedup / relational / windows / media) so
         # regressions there are visible per-round, not just in tests
         "dedup_minhash": minhash,
+        "dedup_edit_pairs": edit_pairs,
         "dedup_clusters": clusters,
         "corpus_clean": clean,
         "rel_q1": rel_q1,

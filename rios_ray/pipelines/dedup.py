@@ -644,3 +644,55 @@ def winnow_pairs(
     return shared.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def edit_distance_pairs(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    max_dist: int | None = None,
+    num_perm: int = NUM_PERM,
+    n_bands: int = N_BANDS,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, edit_dist): exact Levenshtein distance for every
+    verified near-duplicate pair — the character-level verification
+    stage a fuzzy-dedup pipeline runs AFTER set-similarity candidates
+    (n-gram Jaccard can score high on reordered text; edit distance
+    cannot), optionally filtered to ``edit_dist <= max_dist``.
+
+    Distributed shape: LSH candidates -> exact-Jaccard verify (the
+    ``minhash_pairs`` exchange) -> texts re-attached by two partitioned
+    lookup joins -> one ``levenshtein_batch`` kernel call per batch
+    (DP vectorized across the pair batch; see text/analysis.py).  Pair
+    count — not corpus size — bounds the DP cost, and pairs are already
+    df-capped upstream.
+    """
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    pairs = minhash_pairs(sf_dir, ngram, threshold, num_perm, n_bands,
+                          num_partitions)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    j = _attach_texts(pairs.select_columns(["doc_a", "doc_b"]), docs,
+                      "doc_a", "text_a", num_partitions)
+    j = _attach_texts(j, docs, "doc_b", "text_b", num_partitions)
+
+    def dist(b: pa.Table) -> pa.Table:
+        from ..text.analysis import levenshtein_batch
+
+        d = levenshtein_batch(
+            b["text_a"].to_pylist(), b["text_b"].to_pylist()
+        )
+        out = pa.table({
+            "doc_a": b["doc_a"],
+            "doc_b": b["doc_b"],
+            "edit_dist": pa.array(d, type=pa.int64()),
+        })
+        if max_dist is not None:
+            out = out.filter(pa.array(d <= max_dist))
+        return out
+
+    return j.map_batches(
+        dist, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )

@@ -382,3 +382,42 @@ def test_exact_dedup_fnv_matches_md5_groups(ray_session):
     assert a == b and len(a) > 0
     # fnv keys are 16-hex-char strings (schema-compatible with md5's 32)
     assert fnv["text_md5"].str.len().eq(16).all()
+
+
+def test_edit_distance_pairs_vs_duckdb(ray_session, con):
+    """Pipeline output (minhash-verified pairs + batched Levenshtein)
+    matches the exact-Jaccard pair set with DuckDB levenshtein; the
+    max_dist filter is a strict subset."""
+    from rios_ray.pipelines.dedup import edit_distance_pairs
+
+    got = edit_distance_pairs(SF, threshold=0.5).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want = con.execute("""
+        WITH g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM docs),
+        g1 AS (SELECT doc_id,
+                      CASE WHEN len(words) < 3 THEN [text]
+                           ELSE list_distinct(list_transform(
+                                  generate_series(1, len(words) - 2),
+                                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                      END AS grams FROM g0),
+        grams AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+                    FROM grams a JOIN grams b
+                      ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+        jp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5)
+        SELECT jp.doc_a, jp.doc_b,
+               levenshtein(da.text, db.text) AS edit_dist
+          FROM jp JOIN docs da ON da.doc_id = jp.doc_a
+                  JOIN docs db ON db.doc_id = jp.doc_b
+         ORDER BY 1, 2""").df()
+    assert len(got) > 0
+    assert got["doc_a"].tolist() == want["doc_a"].tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].tolist()
+    assert got["edit_dist"].tolist() == want["edit_dist"].tolist()
+    cap = int(got["edit_dist"].median())
+    sub = edit_distance_pairs(SF, threshold=0.5, max_dist=cap).to_pandas()
+    assert len(sub) < len(got)
+    assert (sub["edit_dist"] <= cap).all()

@@ -608,3 +608,41 @@ def test_bigram_coverage_fallback_path_equal(ray_session, tmp_path):
     assert a.equals(b)
     assert len(a) == 4 and (a.loc[a.doc_id == 1, "n_bigrams"] == 0).all()
     assert (a.loc[a.doc_id == 2, "n_known"] == 0).all()
+
+
+def test_levenshtein_batch_vs_scalar_and_duckdb():
+    """Batched DP (prefix-min vectorization) matches a scalar DP oracle
+    and DuckDB's levenshtein on random + degenerate pairs."""
+    import random
+    import string
+
+    import duckdb
+
+    from rios_ray.text.analysis import levenshtein_batch
+
+    def scalar(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(la + 1))
+        for j in range(1, lb + 1):
+            cur = [j] + [0] * la
+            for i in range(1, la + 1):
+                cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                             prev[i - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[la]
+
+    rng = random.Random(3)
+    pairs = [("", ""), ("abc", ""), ("", "xyz"), ("same", "same"),
+             ("kitten", "sitting")]
+    for _ in range(200):
+        a = "".join(rng.choices(string.ascii_lowercase + " ",
+                                k=rng.randrange(0, 40)))
+        b = "".join(rng.choices(string.ascii_lowercase + " ",
+                                k=rng.randrange(0, 40)))
+        pairs.append((a, b))
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [scalar(a, b) for a, b in pairs]
+    con = duckdb.connect()
+    for (a, b), g in zip(pairs[:40], got[:40]):
+        assert con.sql("SELECT levenshtein(?, ?)",
+                       params=[a, b]).fetchone()[0] == g
