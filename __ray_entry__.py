@@ -405,6 +405,12 @@ def _q_text_pii(sf_dir: str):
     return T.pii(sf_dir)
 
 
+def _q_quality_weighted_sample(sf_dir: str):
+    from rios_ray.pipelines.text import quality_weighted_sample
+
+    return quality_weighted_sample(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     from rios_ray.pipelines.text import stratified_sample
 
@@ -926,7 +932,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- events (r3 window; quantiles/HLL/deltas touched r4) ---
         "events_sessions": _q_events_sessions,
-        "events_distinct_users": _q_events_distinct_users,
         "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
@@ -949,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- avg self-join, q21 EXISTS+NOT EXISTS chain) ---
         "rel_q13_customer_distribution": _q_rel_q13,
         "dedup_edit_pairs": _q_dedup_edit_pairs,
+        "quality_weighted_sample": _q_quality_weighted_sample,
         "rel_q17_small_quantity_revenue": _q_rel_q17,
         "rel_q21_returns_suppliers": _q_rel_q21,
         # --- RAT / media / embeddings ---
@@ -990,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_funnel": _q_events_funnel,
+        "events_distinct_users": _q_events_distinct_users,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1281,6 +1288,21 @@ def _text_oracle_sql() -> dict[str, str]:
                  + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
                      / GREATEST(length(text),1)) * 10.0))*0.2 AS quality
               FROM documents
+        """,
+        "quality_weighted_sample": rf"""
+            WITH q AS (
+                SELECT doc_id,
+                       LEAST(1.0, len(regexp_extract_all(text,'\S+'))/64.0)*0.5
+                     + LEAST(1.0, (len(regexp_extract_all(lower(text),'{en}'))
+                         / GREATEST(len(regexp_extract_all(text,'\S+')),1)) * 8.0)*0.3
+                     + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
+                         / GREATEST(length(text),1)) * 10.0))*0.2 AS quality
+                  FROM documents
+            )
+            SELECT doc_id, quality
+              FROM q
+             WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 % 10000
+                   < CAST(floor(quality * 10000) AS BIGINT)
         """,
         "text_lang_id": rf"""
             WITH c AS (SELECT doc_id, {lang_counts} FROM documents),

@@ -417,6 +417,46 @@ def stratified_sample(
     )
 
 
+def quality_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic importance sampling by quality score: keep each
+    document with probability equal to its [0,1] quality — the
+    soft-curation alternative to corpus_clean's hard threshold (high-
+    quality text is kept almost surely, low-quality text survives at a
+    rate proportional to its score, so the sampled mix upweights
+    quality without a cliff).
+
+    Row-local and RNG-free like :func:`stratified_sample`: keep iff
+    ``knuth_bucket(doc_id) < floor(quality * 10000)``.  The quality
+    kernel is bit-exact vs SQL (same IEEE ops in the same order), the
+    threshold is one exact float->int floor, and the bucket is integer
+    arithmetic — so the sample is reproducible per shard (resumability)
+    and the oracle gates the ENTIRE keep decision, not just counts.
+    One stateless map_batches; no shuffle.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def sample(b: pa.Table) -> pa.Table:
+        b = A.quality_score(b)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            ((ids % np.uint64(SAMPLE_MOD)) * np.uint64(SAMPLE_MULT))
+            % np.uint64(SAMPLE_MOD)
+        ).astype(np.int64) % SAMPLE_BUCKETS
+        q = b["quality"].to_numpy(zero_copy_only=False)
+        thr = np.floor(q * SAMPLE_BUCKETS).astype(np.int64)
+        keep = bucket < thr
+        return pa.table({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "quality": pa.array(q[keep]),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+
+
 def corpus_clean(
     sf_dir: str,
     min_quality: float = 0.7,

@@ -646,3 +646,39 @@ def test_levenshtein_batch_vs_scalar_and_duckdb():
     for (a, b), g in zip(pairs[:40], got[:40]):
         assert con.sql("SELECT levenshtein(?, ?)",
                        params=[a, b]).fetchone()[0] == g
+
+
+def test_quality_weighted_sample_vs_duckdb(ray_session, con):
+    """The ENTIRE keep decision (bit-exact quality x Knuth bucket) is
+    SQL-reproducible, and the sample upweights quality."""
+    from rios_ray.pipelines.text import quality_weighted_sample
+
+    got = quality_weighted_sample(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    en = A.STOPWORD_RES["en"]
+    want = con.execute(rf"""
+        WITH q AS (
+            SELECT doc_id,
+                   LEAST(1.0, len(regexp_extract_all(text,'\S+'))/64.0)*0.5
+                 + LEAST(1.0, (len(regexp_extract_all(lower(text),'{en}'))
+                     / GREATEST(len(regexp_extract_all(text,'\S+')),1)) * 8.0)*0.3
+                 + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
+                     / GREATEST(length(text),1)) * 10.0))*0.2 AS quality
+              FROM docs
+        )
+        SELECT doc_id, quality FROM q
+         WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 % 10000
+               < CAST(floor(quality * 10000) AS BIGINT)
+         ORDER BY doc_id""").df()
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["quality"].to_numpy(), want["quality"].to_numpy())
+    # sampled mean quality exceeds the corpus mean (importance property)
+    corpus = con.execute(rf"""
+        SELECT avg(LEAST(1.0, len(regexp_extract_all(text,'\S+'))/64.0)*0.5
+                 + LEAST(1.0, (len(regexp_extract_all(lower(text),'{en}'))
+                     / GREATEST(len(regexp_extract_all(text,'\S+')),1)) * 8.0)*0.3
+                 + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
+                     / GREATEST(length(text),1)) * 10.0))*0.2) FROM docs
+    """).fetchone()[0]
+    assert got["quality"].mean() > corpus
