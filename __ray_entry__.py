@@ -405,6 +405,12 @@ def _q_text_pii(sf_dir: str):
     return T.pii(sf_dir)
 
 
+def _q_token_percentile_rank(sf_dir: str):
+    from rios_ray.pipelines.text import token_percentile_rank
+
+    return token_percentile_rank(sf_dir)
+
+
 def _q_quality_weighted_sample(sf_dir: str):
     from rios_ray.pipelines.text import quality_weighted_sample
 
@@ -938,7 +944,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deltas": _q_events_value_deltas,
         "events_window_anomalies": _q_events_anomalies,
         "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
-        "events_asof_join": _q_events_asof,
         "events_range_join": _q_events_range_join,
         # --- relational tail ---
         "rel_q18_big_orders": _q_rel_q18,
@@ -955,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q13_customer_distribution": _q_rel_q13,
         "dedup_edit_pairs": _q_dedup_edit_pairs,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "token_percentile_rank": _q_token_percentile_rank,
         "rel_q17_small_quantity_revenue": _q_rel_q17,
         "rel_q21_returns_suppliers": _q_rel_q21,
         # --- RAT / media / embeddings ---
@@ -997,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_funnel": _q_events_funnel,
         "events_distinct_users": _q_events_distinct_users,
+        "events_asof_join": _q_events_asof,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1288,6 +1295,18 @@ def _text_oracle_sql() -> dict[str, str]:
                  + (1.0 - LEAST(1.0, (len(regexp_extract_all(text,'[^\w\s]'))
                      / GREATEST(length(text),1)) * 10.0))*0.2 AS quality
               FROM documents
+        """,
+        "token_percentile_rank": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS n_tokens
+                  FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(rank() OVER (ORDER BY n_tokens) - 1 AS BIGINT)
+                     AS n_smaller,
+                   percent_rank() OVER (ORDER BY n_tokens) AS pct_rank
+              FROM t
         """,
         "quality_weighted_sample": rf"""
             WITH q AS (

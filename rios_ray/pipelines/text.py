@@ -8,6 +8,8 @@ nothing is materialized except the caller's consumption.
 
 from __future__ import annotations
 
+import numpy as np
+import ray
 import ray.data
 
 from ..sources.documents import read_documents
@@ -360,6 +362,70 @@ def token_quantiles(sf_dir: str, qs: tuple = QUANTILES):
         idx = int((cum >= rank).idxmax())
         rows.append({"q": float(q), "value": int(hist["n_tokens"][idx])})
     return pd.DataFrame(rows)
+
+
+def token_percentile_rank(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_smaller, pct_rank): every document's global
+    token-count percentile rank — the ``PERCENT_RANK() OVER (ORDER BY
+    n_tokens)`` window function WITHOUT a global sort.
+
+    Token counts are small integers, so the exact unit-width histogram
+    (the ``token_quantiles`` exchange — one row per distinct count per
+    batch) is tiny; the driver turns it into a sorted value array +
+    exclusive cumulative counts, broadcasts once, and a second
+    streaming pass over the corpus reads each document's
+    strictly-smaller count with one searchsorted per batch.  Rank
+    semantics mirror SQL exactly: ``n_smaller = rank() - 1`` and
+    ``pct_rank = n_smaller / (N - 1)`` (0.0 when N = 1) — one float
+    division, bit-identical across engines.  Two passes over the text
+    (the q17 correlated-statistic shape): the histogram is a function
+    of the whole corpus, and re-scanning streams where materializing
+    one row per document would not.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+    from ..text.analysis import TOKEN_RE
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], TOKEN_RE).cast(pa.int64())
+        return pa.table({"n_tokens": n})
+
+    hist = hash_grouped_aggregate(
+        read_documents(sf_dir, columns=["text"]).map_batches(
+            count_tokens, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH_SIZE,
+        ),
+        ["n_tokens"], [(None, "count", "c")], final_mode="tree",
+    ).to_pandas().sort_values("n_tokens")
+    vals = hist["n_tokens"].to_numpy()
+    counts = hist["c"].to_numpy()
+    cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = int(counts.sum())
+    ref = ray.put((vals, cum_before, total))
+
+    def attach(b: pa.Table) -> pa.Table:
+        v, cb, n_total = ray.get(ref)
+        n = pc.count_substring_regex(b["text"], TOKEN_RE).cast(pa.int64())
+        nn = n.to_numpy(zero_copy_only=False)
+        smaller = cb[np.searchsorted(v, nn, side="left")]
+        pct = (
+            smaller / (n_total - 1)
+            if n_total > 1
+            else np.zeros(len(nn), dtype=np.float64)
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": n,
+            "n_smaller": pa.array(smaller),
+            "pct_rank": pa.array(pct, type=pa.float64()),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
 
 
 # deterministic sampling: Knuth multiplicative hash of doc_id into

@@ -682,3 +682,26 @@ def test_quality_weighted_sample_vs_duckdb(ray_session, con):
                      / GREATEST(length(text),1)) * 10.0))*0.2) FROM docs
     """).fetchone()[0]
     assert got["quality"].mean() > corpus
+
+
+def test_token_percentile_rank_vs_duckdb(ray_session, con):
+    """Broadcast-histogram percentile rank == SQL window functions
+    (rank()-1 and percent_rank), bit-exact including the division."""
+    from rios_ray.pipelines.text import token_percentile_rank
+
+    got = token_percentile_rank(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = con.execute(r"""
+        WITH t AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+')) AS n_tokens
+                     FROM docs)
+        SELECT doc_id, n_tokens,
+               rank() OVER (ORDER BY n_tokens) - 1 AS n_smaller,
+               percent_rank() OVER (ORDER BY n_tokens) AS pct_rank
+          FROM t ORDER BY doc_id""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert got["n_smaller"].tolist() == want["n_smaller"].tolist()
+    assert np.array_equal(got["pct_rank"].to_numpy(),
+                          want["pct_rank"].to_numpy())
+    assert got["pct_rank"].max() > 0.9 and got["pct_rank"].min() == 0.0
