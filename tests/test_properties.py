@@ -160,3 +160,69 @@ def test_winnow_flat_property(texts):
     vals, doc_of = A.winnow_fingerprints_flat(pa.array(texts, type=pa.string()))
     for i, t in enumerate(texts):
         assert np.array_equal(A.winnow_fingerprint_one(t), vals[doc_of == i]), i
+
+
+@given(st.lists(st.tuples(st.text(max_size=25), st.text(max_size=25)),
+                min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_levenshtein_batch_properties(pairs):
+    """Metric axioms on arbitrary unicode pairs: identity, symmetry,
+    length-difference lower bound, max-length upper bound — plus batch
+    equals a scalar DP recompute."""
+    from rios_ray.text.analysis import levenshtein_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    d_ab = levenshtein_batch(a, b)
+    d_ba = levenshtein_batch(b, a)
+    d_aa = levenshtein_batch(a, a)
+    la = np.array([len(s.encode()) for s in a])
+    lb = np.array([len(s.encode()) for s in b])
+    assert (d_aa == 0).all()
+    assert np.array_equal(d_ab, d_ba)
+    assert (d_ab >= np.abs(la - lb)).all()
+    assert (d_ab <= np.maximum(la, lb)).all()
+
+    def scalar(x, y):
+        x, y = x.encode(), y.encode()
+        prev = list(range(len(x) + 1))
+        for j in range(1, len(y) + 1):
+            cur = [j] + [0] * len(x)
+            for i in range(1, len(x) + 1):
+                cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                             prev[i - 1] + (x[i - 1] != y[j - 1]))
+            prev = cur
+        return prev[len(x)]
+
+    assert d_ab.tolist() == [scalar(x, y) for x, y in pairs]
+
+
+@given(st.lists(st.tuples(
+    st.floats(-20, 40, allow_nan=False), st.floats(-20, 40, allow_nan=False),
+    st.floats(-20, 40, allow_nan=False), st.floats(-20, 40, allow_nan=False),
+), min_size=1, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_supercover_properties(segs):
+    """Supercover invariants: both endpoint cells present, every
+    consecutive cell pair along the traversal 8-connected, cell count
+    <= |dc| + |dr| + 3 (crossings + 1).  Inputs are snapped to 3
+    decimals — a denormal-epsilon coordinate (e.g. -1e-38, whose floor
+    is -1) makes the 'endpoint floor-cell present' claim ill-posed
+    under the documented on-gridline tie rule; real pixel coordinates
+    are never subnormal."""
+    from rios_ray.spatial import supercover_cells
+
+    c0 = np.round([s[0] for s in segs], 3)
+    r0 = np.round([s[1] for s in segs], 3)
+    c1 = np.round([s[2] for s in segs], 3)
+    r1 = np.round([s[3] for s in segs], 3)
+    sidx, rows, cols = supercover_cells(c0, r0, c1, r1)
+    for i in range(len(segs)):
+        m = sidx == i
+        cells = list(zip(rows[m].tolist(), cols[m].tolist()))
+        got = set(cells)
+        assert (int(np.floor(r0[i])), int(np.floor(c0[i]))) in got
+        assert (int(np.floor(r1[i])), int(np.floor(c1[i]))) in got
+        assert len(got) <= abs(c1[i] - c0[i]) + abs(r1[i] - r0[i]) + 3
+        for (ra, ca), (rb, cb) in zip(cells, cells[1:]):
+            assert abs(ra - rb) <= 1 and abs(ca - cb) <= 1, (segs[i], cells)
