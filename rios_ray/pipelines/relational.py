@@ -1053,97 +1053,104 @@ def q21_returns_suppliers(
     EXCLUDING any supplier with a large (quantity > ``big_qty``)
     returned line in a finished URGENT order.
 
-    The two fact-level subqueries (returned lines semi-joined to
-    qualifying orders) always run on the partitioned union exchange —
-    both sides are facts, arbitrarily large.  Their OUTPUT, reduced to
-    distinct supplier keys by the combiner-first aggregate, is bounded
-    by supplier cardinality: under ``broadcast_cap`` both key sets ship
-    once via ``ray.put`` and the EXISTS/NOT-EXISTS pair is a single
-    vectorized membership pass over the supplier scan (two searchsorted
-    per batch, zero further exchanges — measured 5.5 s -> ~3 s at
-    sf0.1/32cpus vs the chained-exchange path); past the cap it falls
-    back to two more partitioned exists-joins.  Right sides dedupe per
-    batch inside the exchange (membership only).
+    Both subqueries share the same returned-lines x finished-orders
+    join, so the plan runs ONE fact-level partitioned lookup join
+    (returned lines, carrying quantity, against finished orders,
+    carrying an is-urgent flag) and folds the EXISTS and the NOT EXISTS
+    into a single combiner-first per-supplier aggregate: ``seen`` =
+    any joined line, ``bad`` = max(quantity > big_qty AND urgent).
+    The flag table is bounded by supplier cardinality: under
+    ``broadcast_cap`` it ships once via ``ray.put`` and the supplier
+    scan applies both predicates in one vectorized membership pass
+    (zero further exchanges); past the cap it falls back to a semi +
+    anti pair of partitioned exists-joins over the flag table.
     """
     import pyarrow.compute as pc
 
-    from ..functions.join import partitioned_exists_join
+    from ..functions.join import partitioned_exists_join, partitioned_lookup_join
 
-    def orders_where(prio: str | None):
-        def f(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.equal(b["o_orderstatus"], status))
-            if prio is not None:
-                b = b.filter(pc.equal(b["o_orderpriority"], prio))
-            return b.select(["o_orderkey"])
+    def orders_f(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], status))
+        urgent = pc.equal(b["o_orderpriority"], priority).cast(pa.int8())
+        return pa.table({"o_orderkey": b["o_orderkey"], "urgent": urgent})
 
-        return _read(
-            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
-        ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
-                      batch_size=BATCH)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
 
-    def returned_lines(min_qty: float | None):
-        def f(b: pa.Table) -> pa.Table:
-            b = b.filter(pc.equal(b["l_returnflag"], "R"))
-            if min_qty is not None:
-                qty = b["l_quantity"].to_numpy(zero_copy_only=False)
-                b = b.filter(pa.array(qty > min_qty))
-            return b.select(["l_orderkey", "l_suppkey"])
+    def lines_r(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "big": pa.array(
+                b["l_quantity"].to_numpy(zero_copy_only=False) > big_qty
+            ).cast(pa.int8()),
+        })
 
-        return _read(
-            sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag",
-                                 "l_quantity"]
-        ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
-                      batch_size=BATCH)
+    lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag",
+                             "l_quantity"]
+    ).map_batches(lines_r, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
 
-    exists_keys = hash_grouped_aggregate(
-        partitioned_exists_join(
-            returned_lines(None), orders_where(None), "l_orderkey",
-            "o_orderkey", [("l_suppkey", pa.int64())], _join_partitions(),
-        ),
-        ["l_suppkey"], [(None, "count", "_n")],
-    ).materialize()
-    anti_keys = hash_grouped_aggregate(
-        partitioned_exists_join(
-            returned_lines(big_qty), orders_where(priority), "l_orderkey",
-            "o_orderkey", [("l_suppkey", pa.int64())], _join_partitions(),
-        ),
-        ["l_suppkey"], [(None, "count", "_n")],
+    joined = partitioned_lookup_join(
+        lines, orders, "l_orderkey", "o_orderkey",
+        [("l_suppkey", pa.int64()), ("big", pa.int8())],
+        [("urgent", pa.int8(), "urgent")],
+        _join_partitions(),
+    )
+
+    def flagify(b: pa.Table) -> pa.Table:
+        bad = (
+            b["big"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * b["urgent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"l_suppkey": b["l_suppkey"], "bad": pa.array(bad)})
+
+    flags = hash_grouped_aggregate(
+        joined.map_batches(flagify, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["l_suppkey"], [("bad", "max", "bad")],
     ).materialize()
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
 
-    if exists_keys.count() + anti_keys.count() <= broadcast_cap:
-        def keys_of(ds) -> np.ndarray:
-            parts = [
-                t["l_suppkey"].to_numpy(zero_copy_only=False)
-                for t in ray.get(ds.to_arrow_refs()) if t.num_rows
-            ]
-            return np.sort(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
-
-        ref = ray.put((keys_of(exists_keys), keys_of(anti_keys)))
-
-        def member(keys: np.ndarray, v: np.ndarray) -> np.ndarray:
-            if not len(keys):
-                return np.zeros(len(v), dtype=bool)
-            pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
-            return keys[pos] == v
+    if flags.count() <= broadcast_cap:
+        parts = [t for t in ray.get(flags.to_arrow_refs()) if t.num_rows]
+        if parts:
+            tbl = pa.concat_tables(parts)
+            keys = tbl["l_suppkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(keys)
+            ref = ray.put((keys[order],
+                           tbl["bad"].to_numpy(zero_copy_only=False)[order]))
+        else:
+            ref = ray.put((np.zeros(0, np.int64), np.zeros(0, np.int64)))
 
         def both(b: pa.Table) -> pa.Table:
-            ek, ak = ray.get(ref)
+            keys, bad = ray.get(ref)
             sk = b["s_suppkey"].to_numpy(zero_copy_only=False)
-            return b.filter(pa.array(member(ek, sk) & ~member(ak, sk)))
+            if not len(keys):
+                return b.filter(pa.array(np.zeros(len(sk), bool)))
+            pos = np.minimum(np.searchsorted(keys, sk), len(keys) - 1)
+            hit = keys[pos] == sk
+            return b.filter(pa.array(hit & (bad[pos] == 0)))
 
         return sup.map_batches(
             both, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=BATCH,
         )
 
-    sup = partitioned_exists_join(
-        sup, exists_keys, "s_suppkey", "l_suppkey",
+    # flags holds ONE row per supplier with bad = max, so EXISTS AND
+    # NOT-bad collapses to a single semi-join against the bad=0 rows
+    def good_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["bad"], 0)).select(["l_suppkey"])
+
+    return partitioned_exists_join(
+        sup,
+        flags.map_batches(good_only, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        "s_suppkey", "l_suppkey",
         [("s_suppkey", pa.int64()), ("s_name", pa.string())],
         _join_partitions(),
-    )
-    return partitioned_exists_join(
-        sup, anti_keys, "s_suppkey", "l_suppkey",
-        [("s_suppkey", pa.int64()), ("s_name", pa.string())],
-        _join_partitions(), anti=True,
     )

@@ -441,3 +441,7 @@ def test_q21_returns_suppliers(ray_session, con):
     # both the EXISTS and the NOT EXISTS side must bite on the fixture
     n_sup = con.execute("SELECT count(*) FROM supplier").fetchone()[0]
     assert 0 < len(got) < n_sup
+    # the partitioned fallback (past the broadcast cap) is path-equal
+    got2 = R.q21_returns_suppliers(SF, broadcast_cap=0).to_pandas(
+    ).sort_values("s_suppkey").reset_index(drop=True)
+    assert got2["s_suppkey"].tolist() == want["s_suppkey"].tolist()
