@@ -693,6 +693,12 @@ def _q_events_distinct_users(sf_dir: str):
     return distinct_users(sf_dir)
 
 
+def _q_events_value_mean(sf_dir: str):
+    from rios_ray.pipelines.events import value_mean_per_type
+
+    return value_mean_per_type(sf_dir)
+
+
 def _q_events_users_hll(sf_dir: str):
     from rios_ray.pipelines.events import distinct_users_hll
 
@@ -944,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_deltas": _q_events_value_deltas,
         "events_window_anomalies": _q_events_anomalies,
         "events_users_hll": _q_events_users_hll,  # SQL-gated via register sidecar (r4)
+        "events_value_mean": _q_events_value_mean,  # bit-exact float sum (fsum-gated, r4)
         "events_range_join": _q_events_range_join,
         # --- relational tail ---
         "rel_q18_big_orders": _q_rel_q18,
@@ -966,7 +973,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- RAT / media / embeddings ---
         "rat_derive": _q_rat_derive,
         "rat_derive_store": _q_rat_derive_store,
-        "rat_colstats": _q_rat_colstats,
         "media_image_features": _q_media_image_features,
         "media_frame_samples": _q_media_frame_samples,
         "media_frame_dedup": _q_media_frame_dedup,
@@ -1004,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_distinct_users": _q_events_distinct_users,
         "events_asof_join": _q_events_asof,
+        "rat_colstats": _q_rat_colstats,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1947,6 +1954,16 @@ def _events_oracle_sql() -> dict[str, str]:
         "events_distinct_users": f"""
             SELECT CAST(floor(epoch_us(ts) / {W}) AS BIGINT) AS window,
                    count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY 1
+        """,
+        # fsum is DuckDB's exactly-rounded (order-independent) float
+        # sum — bit-identical to the engine's exponent-bucketed exact
+        # accumulation (functions/agg.py::grouped_exact_float_sum) and
+        # to math.fsum; the mean is the one shared IEEE division
+        "events_value_mean": """
+            SELECT event_type, count(*) AS n_events,
+                   fsum(value) AS sum_value,
+                   fsum(value) / count(*) AS mean_value
               FROM events GROUP BY 1
         """,
         # HLL register-merge + estimator recomputed in SQL over the

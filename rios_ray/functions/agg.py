@@ -344,3 +344,141 @@ def grouped_quantiles_sketch(ds, key: str, value_col: str, qs: list[float],
         })
 
     return hash_partitioned_groups(partials, [key], finish, num_partitions)
+
+
+# --- exact (order-independent) float summation -----------------------------
+#
+# Distributed float sums are normally not reproducible: IEEE addition is
+# not associative, so partial-sum order changes the last bits and no SQL
+# oracle can mirror them.  This aggregate makes the sum EXACT and
+# therefore order-free: each double v = m * 2^e (np.frexp) is an exact
+# integer mantissa at a power-of-two scale, so per (group, exponent)
+# bucket the mantissas accumulate in arbitrary-precision integers with
+# NO rounding at all.  The bucket dict is a tiny, exactly-mergeable
+# combiner state (<= ~2100 exponents, ~60 in practice), and the final
+# correctly-rounded double equals math.fsum / DuckDB's fsum regardless
+# of partitioning — verified bit-for-bit in tests.
+
+
+def _mantissa_buckets(vals: np.ndarray, seg_starts: np.ndarray,
+                      seg_ends: np.ndarray):
+    """Per segment: {exponent: exact integer mantissa sum} for the
+    float64 slice vals[s:e].  Vectorized: one frexp, one lexsort-free
+    per-segment argsort by exponent, chunked int64 reduceat (512 x 2^53
+    < 2^63, no overflow) and a bounded Python merge over CHUNKS (not
+    rows)."""
+    out = []
+    m, e = np.frexp(vals)
+    m2 = np.round(m * 9007199254740992.0).astype(np.int64)  # m * 2^53, exact
+    e2 = e.astype(np.int64) - 53
+    for s, t in zip(seg_starts, seg_ends):
+        if t <= s:
+            out.append({})
+            continue
+        seg_m, seg_e = m2[s:t], e2[s:t]
+        order = np.argsort(seg_e, kind="stable")
+        se, sm = seg_e[order], seg_m[order]
+        bounds = np.flatnonzero(np.diff(se)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(se)]])
+        d: dict[int, int] = {}
+        for a, b in zip(starts, ends):
+            # chunked exact reduction: int64 partials over <=512 values
+            # (512 * 2^53 < 2^63); slice FIRST — reduceat's last slice
+            # otherwise runs to the end of the whole array
+            chunk = sm[a:b]
+            partial = np.add.reduceat(chunk, np.arange(0, len(chunk), 512))
+            d[int(se[a])] = d.get(int(se[a]), 0) + sum(int(x) for x in partial)
+        out.append(d)
+    return out
+
+
+def _buckets_to_float(d: dict[int, int]) -> float:
+    """Correctly-rounded double of the EXACT value sum(m * 2^e) — equal
+    to math.fsum of the original values (Fraction -> float rounds
+    once)."""
+    from fractions import Fraction
+
+    total = Fraction(0)
+    for e, mm in d.items():
+        total += Fraction(mm) * Fraction(2) ** e
+    return float(total)
+
+
+def grouped_exact_float_sum(
+    ds, keys: list[str], value_col: str,
+    out_sum: str = "sum_value", out_n: str = "n",
+    num_partitions: int | None = None,
+):
+    """(keys..., out_sum, out_n): per-group float64 sum that is
+    BIT-IDENTICAL to ``math.fsum`` / DuckDB ``fsum`` over the group's
+    values, independent of batch/partition order — the reproducible
+    float aggregate a DuckDB oracle can gate (plain SUM cannot be).
+
+    Finite values only (an Inf/NaN would need a sticky flag, not a
+    mantissa bucket).  Per-batch partials emit one (keys, exponent,
+    mantissa-sum bigint as decimal string) row per occupied exponent
+    bucket (~60/group); the
+    keyed exchange merges buckets exactly; the final rounds ONCE.
+    Means follow as ``out_sum / out_n`` — a single IEEE division both
+    engines share.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df_keys = [b[k].to_numpy(zero_copy_only=False) for k in keys]
+        vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays(df_keys) if len(keys) > 1
+            else pd.Index(df_keys[0]),
+            sort=False,
+        )
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cs)]])
+        dicts = _mantissa_buckets(vals[order], starts, ends)
+        rows = []
+        for gi, (s, d) in enumerate(zip(starts, dicts)):
+            kv = uniq[cs[s]]
+            kv = kv if len(keys) > 1 else (kv,)
+            # _n rides on the FIRST exponent row of each (batch, group)
+            # only, so the merge can plain-sum it
+            for j, (e, mm) in enumerate(d.items()):
+                rows.append(
+                    {**{k: v for k, v in zip(keys, kv)},
+                     "_exp": e, "_mant": str(mm),
+                     "_n": int(ends[gi] - s) if j == 0 else 0}
+                )
+        schema = pa.schema(
+            [(k, b.schema.field(k).type) for k in keys]
+            + [("_exp", pa.int64()), ("_mant", pa.string()), ("_n", pa.int64())]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=65536,
+    )
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out_rows = []
+        for kv, g in df.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            d: dict[int, int] = {}
+            for e, mm in zip(g["_exp"], g["_mant"]):
+                d[int(e)] = d.get(int(e), 0) + int(mm)
+            out_rows.append(
+                {**{k: v for k, v in zip(keys, kv)},
+                 out_sum: _buckets_to_float(d), out_n: int(g["_n"].sum())}
+            )
+        out_schema = pa.schema(
+            [(k, tbl.schema.field(k).type) for k in keys]
+            + [(out_sum, pa.float64()), (out_n, pa.int64())]
+        )
+        return pa.Table.from_pylist(out_rows, schema=out_schema)
+
+    return hash_partitioned_groups(parts, keys, merge,
+                                   num_partitions=num_partitions)

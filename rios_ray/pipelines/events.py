@@ -655,6 +655,44 @@ def top_users_per_window(
     )
 
 
+def value_mean_per_type(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_events, sum_value, mean_value): per-type float
+    mean with a BIT-EXACT, order-independent sum.
+
+    Distributed float sums are normally irreproducible (IEEE addition
+    is not associative), which is why every other monetary/float
+    aggregate in this repo is integer-lifted.  This one uses
+    ``functions.agg.grouped_exact_float_sum`` — exponent-bucketed exact
+    integer mantissa accumulation, mergeable across any partitioning,
+    correctly rounded once at the end — so the sum equals
+    ``math.fsum`` and DuckDB's ``fsum`` bit-for-bit (verified) and the
+    mean is one shared IEEE division.  The per-group combiner state is
+    ~60 exponent buckets regardless of row count, so the exchange stays
+    combiner-sized at any scale.
+    """
+    from ..functions.agg import grouped_exact_float_sum
+
+    ds = read_events(sf_dir, columns=["event_type", "value"])
+    sums = grouped_exact_float_sum(
+        ds, ["event_type"], "value", out_sum="sum_value", out_n="n_events"
+    )
+
+    def with_mean(b: pa.Table) -> pa.Table:
+        s = b["sum_value"].to_numpy(zero_copy_only=False)
+        n = b["n_events"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "sum_value": b["sum_value"],
+            "mean_value": pa.array(s / n),
+        })
+
+    return sums.map_batches(
+        with_mean, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def value_quantiles_per_type(
     sf_dir: str, qs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9)
 ) -> ray.data.Dataset:

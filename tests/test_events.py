@@ -469,3 +469,25 @@ def test_value_deltas_vs_duckdb(ray_session, con):
     """).df()
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["delta"].tolist() == want["delta"].tolist()
+
+
+def test_value_mean_per_type_bit_exact_vs_fsum(ray_session, con):
+    """The distributed exact float sum equals DuckDB fsum bit-for-bit
+    (order-independent), and the mean shares the one IEEE division."""
+    import numpy as np
+
+    from rios_ray.pipelines.events import value_mean_per_type
+
+    got = value_mean_per_type(SF).to_pandas().sort_values(
+        "event_type").reset_index(drop=True)
+    want = con.execute("""
+        SELECT event_type, count(*) AS n_events,
+               fsum(value) AS sum_value,
+               fsum(value) / count(*) AS mean_value
+          FROM events GROUP BY 1 ORDER BY 1""").df()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.array_equal(got["sum_value"].to_numpy(),
+                          want["sum_value"].to_numpy())
+    assert np.array_equal(got["mean_value"].to_numpy(),
+                          want["mean_value"].to_numpy())

@@ -226,3 +226,29 @@ def test_supercover_properties(segs):
         assert len(got) <= abs(c1[i] - c0[i]) + abs(r1[i] - r0[i]) + 3
         for (ra, ca), (rb, cb) in zip(cells, cells[1:]):
             assert abs(ra - rb) <= 1 and abs(ca - cb) <= 1, (segs[i], cells)
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e300, max_value=1e300),
+                min_size=1, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_exact_float_sum_property(vals):
+    """Exponent-bucketed exact accumulation == math.fsum bit-for-bit,
+    under ANY partitioning of the input (mergeable combiner state)."""
+    import math
+    import struct
+
+    from rios_ray.functions.agg import _buckets_to_float, _mantissa_buckets
+
+    arr = np.array(vals, dtype=np.float64)
+    want = struct.pack("<d", math.fsum(vals))
+    d = _mantissa_buckets(arr, np.array([0]), np.array([len(arr)]))[0]
+    assert struct.pack("<d", _buckets_to_float(d)) == want
+    # split into 3 arbitrary chunks and merge the bucket dicts
+    c1, c2 = len(arr) // 3, 2 * len(arr) // 3
+    merged: dict = {}
+    for dd in _mantissa_buckets(arr, np.array([0, c1, c2]),
+                                np.array([c1, c2, len(arr)])):
+        for e, m in dd.items():
+            merged[e] = merged.get(e, 0) + m
+    assert struct.pack("<d", _buckets_to_float(merged)) == want
