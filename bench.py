@@ -133,6 +133,31 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def rel_q13():
+        from rios_ray.pipelines.relational import q13_customer_distribution
+
+        return q13_customer_distribution(sf_dir)
+
+    def rel_q17():
+        from rios_ray.pipelines.relational import q17_small_quantity_revenue
+
+        return q17_small_quantity_revenue(sf_dir).to_pandas()
+
+    def qw_sample():
+        from rios_ray.pipelines.text import quality_weighted_sample
+
+        return quality_weighted_sample(sf_dir).count()
+
+    def pct_rank():
+        from rios_ray.pipelines.text import token_percentile_rank
+
+        return token_percentile_rank(sf_dir).count()
+
+    def value_mean():
+        from rios_ray.pipelines.events import value_mean_per_type
+
+        return value_mean_per_type(sf_dir).count()
+
     def edit_pairs():
         from rios_ray.pipelines.dedup import edit_distance_pairs
 
@@ -305,6 +330,11 @@ def run_bench() -> dict:
         "rel_q1": rel_q1,
         "rel_q5": rel_q5,
         "rel_q21": rel_q21,
+        "rel_q13": rel_q13,
+        "rel_q17": rel_q17,
+        "quality_weighted_sample": qw_sample,
+        "token_percentile_rank": pct_rank,
+        "events_value_mean": value_mean,
         "events_sessions": sessions,
         "events_funnel": funnel,
         "dedup_winnow": winnow,
