@@ -481,6 +481,12 @@ def _q_dedup_minhash(sf_dir: str):
     return D.minhash_pairs(sf_dir, threshold=0.5)
 
 
+def _q_neardup_pagerank(sf_dir: str):
+    from rios_ray.pipelines.dedup import neardup_pagerank
+
+    return neardup_pagerank(sf_dir, threshold=0.5, iters=2)
+
+
 def _q_dedup_edit_pairs(sf_dir: str):
     from rios_ray.pipelines import dedup as D
 
@@ -966,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- avg self-join, q21 EXISTS+NOT EXISTS chain) ---
         "rel_q13_customer_distribution": _q_rel_q13,
         "dedup_edit_pairs": _q_dedup_edit_pairs,
+        "neardup_pagerank": _q_neardup_pagerank,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "token_percentile_rank": _q_token_percentile_rank,
         "rel_q17_small_quantity_revenue": _q_rel_q17,
@@ -976,7 +983,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _q_media_image_features,
         "media_frame_samples": _q_media_frame_samples,
         "media_frame_dedup": _q_media_frame_dedup,
-        "knn_embeddings": _q_knn_embeddings,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,
         "knn_embeddings_pq": _q_knn_embeddings_pq,
         "emb_neardup": _q_emb_neardup,
@@ -1011,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_asof_join": _q_events_asof,
         "rat_colstats": _q_rat_colstats,
+        "knn_embeddings": _q_knn_embeddings,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1615,6 +1622,54 @@ def _dedup_oracle_sql() -> dict[str, str]:
               FROM jp
               JOIN documents da ON da.doc_id = jp.doc_a
               JOIN documents db ON db.doc_id = jp.doc_b
+        """,
+        # 2-iteration PageRank unrolled as joins.  Bit-exact float
+        # parity: fsum is the exact order-independent in-sum (== the
+        # engine's grouped_exact_float_sum), all constants are forced
+        # to DOUBLE (a bare 0.85 literal parses as DECIMAL and would
+        # make 1.0-0.85 exact where float64 gives 0.15000000000000002),
+        # and every scalar step is the same single IEEE op as the
+        # engine's (1/n, (1-d)/n, rank/deg, d*s, base+x).
+        "neardup_pagerank": f"""
+            WITH jp AS (
+                SELECT doc_a, doc_b
+                  FROM (WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)})
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM jp
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM jp
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM deg),
+            consts AS (
+                SELECT CAST(1.0 AS DOUBLE) / n AS r0,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n AS base
+                  FROM nn
+            ),
+            c1 AS (
+                SELECT e.dst AS node,
+                       fsum((SELECT r0 FROM consts) / d.deg) AS s
+                  FROM edges e JOIN deg d ON d.src = e.src
+                 GROUP BY 1
+            ),
+            r1 AS (
+                SELECT node,
+                       (SELECT base FROM consts)
+                       + CAST(0.85 AS DOUBLE) * s AS rank
+                  FROM c1
+            ),
+            c2 AS (
+                SELECT e.dst AS node, fsum(r1.rank / d.deg) AS s
+                  FROM edges e
+                  JOIN r1 ON r1.node = e.src
+                  JOIN deg d ON d.src = e.src
+                 GROUP BY 1
+            )
+            SELECT node AS doc_id,
+                   (SELECT base FROM consts)
+                   + CAST(0.85 AS DOUBLE) * s AS rank
+              FROM c2
         """,
         # transitive closure over the exact-Jaccard pairs (the oracle
         # for the distributed connected-components clustering step);

@@ -133,6 +133,12 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def pagerank():
+        from rios_ray.pipelines.dedup import neardup_pagerank
+
+        t = neardup_pagerank(sf_dir, threshold=0.5, iters=2)
+        return t if not hasattr(t, "count") else t.count()
+
     def rel_q13():
         from rios_ray.pipelines.relational import q13_customer_distribution
 
@@ -325,6 +331,7 @@ def run_bench() -> dict:
         # regressions there are visible per-round, not just in tests
         "dedup_minhash": minhash,
         "dedup_edit_pairs": edit_pairs,
+        "neardup_pagerank": pagerank,
         "dedup_clusters": clusters,
         "corpus_clean": clean,
         "rel_q1": rel_q1,

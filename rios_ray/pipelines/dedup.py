@@ -696,3 +696,155 @@ def edit_distance_pairs(
         dist, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
+
+
+def neardup_pagerank(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    iters: int = 2,
+    damping: float = 0.85,
+    broadcast_cap: int = 50_000_000,
+    num_partitions: int | None = None,
+) -> "object":
+    """(doc_id, rank): PageRank over the undirected near-duplicate
+    graph — which documents sit at the CENTER of duplicate families
+    (rank concentrates on hub texts copied everywhere; the keep-priority
+    signal a curation pipeline uses instead of min-id).
+
+    The iterative-message-passing shape with BIT-EXACT float parity:
+    every per-node in-sum is the exact order-independent float sum
+    (``functions.agg.grouped_exact_float_sum`` == DuckDB ``fsum``), and
+    every scalar step (1/n, (1-d)/n, rank/deg, d*s, base+x) is a single
+    IEEE op shared with the oracle SQL, so after any number of
+    iterations the ranks match the unrolled-join oracle bit-for-bit.
+
+    Scale shape: edges come from the verified-pair exchange; per
+    iteration, rank/deg ships to the edge scan (broadcast under
+    ``broadcast_cap`` nodes — the pair-graph node set is the DUPLICATED
+    corpus slice, far smaller than the corpus; past the cap, a
+    partitioned lookup join), and the in-sum exchange carries
+    combiner-sized exponent-bucket states, not edge rows.
+    """
+    import pandas as pd
+
+    from ..functions.agg import grouped_exact_float_sum, hash_grouped_aggregate
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    pairs = minhash_pairs(
+        sf_dir, ngram=ngram, threshold=threshold, num_partitions=num_partitions
+    )
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                b["doc_a"].combine_chunks().cast(pa.int64()),
+                b["doc_b"].combine_chunks().cast(pa.int64()),
+            ]),
+            "dst": pa.concat_arrays([
+                b["doc_b"].combine_chunks().cast(pa.int64()),
+                b["doc_a"].combine_chunks().cast(pa.int64()),
+            ]),
+        })
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    ).materialize()
+    deg_ds = hash_grouped_aggregate(
+        edges, ["src"], [(None, "count", "deg")], num_partitions
+    ).materialize()
+    n_nodes = deg_ds.count()
+    if n_nodes == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
+    # one shared IEEE op per scalar, mirrored literally in the oracle
+    r0 = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+
+    if n_nodes <= broadcast_cap:
+        deg_df = deg_ds.to_pandas().sort_values("src")
+        nodes = deg_df["src"].to_numpy()
+        degs = deg_df["deg"].to_numpy().astype(np.float64)
+        rank = np.full(n_nodes, r0, dtype=np.float64)
+        for _ in range(iters):
+            ref = ray.put((nodes, rank / degs))
+
+            def contrib(b: pa.Table) -> pa.Table:
+                ks, cs = ray.get(ref)
+                src = b["src"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ks, src)  # every src is a node
+                return pa.table({
+                    "dst": b["dst"],
+                    "c": pa.array(cs[pos], type=pa.float64()),
+                })
+
+            sums = grouped_exact_float_sum(
+                edges.map_batches(contrib, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None),
+                ["dst"], "c", out_sum="s", out_n="_n",
+                num_partitions=num_partitions,
+            ).to_pandas()
+            s = np.zeros(n_nodes, dtype=np.float64)
+            pos = np.searchsorted(nodes, sums["dst"].to_numpy())
+            s[pos] = sums["s"].to_numpy()
+            rank = base + damping * s  # elementwise: one mul + one add
+        return pa.table({
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "rank": pa.array(rank, type=pa.float64()),
+        })
+
+    # partitioned path: rank travels as a dataset, joined to edges per
+    # iteration (same float ops, exchange-sized by nodes, not corpus)
+    from ..functions.join import partitioned_lookup_join
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "node": b["src"],
+            "deg": b["deg"].cast(pa.float64()),
+            "rank": pa.array(np.full(n, r0), type=pa.float64()),
+        })
+
+    ranks = deg_ds.map_batches(init_rank, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    for _ in range(iters):
+        def with_contrib(b: pa.Table) -> pa.Table:
+            r = b["rank"].to_numpy(zero_copy_only=False)
+            d = b["deg"].to_numpy(zero_copy_only=False)
+            return pa.table({"dst": b["dst"], "c": pa.array(r / d)})
+
+        joined = partitioned_lookup_join(
+            edges, ranks, "src", "node",
+            [("dst", pa.int64())],
+            [("rank", pa.float64(), "rank"), ("deg", pa.float64(), "deg")],
+            num_partitions,
+        ).map_batches(with_contrib, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None)
+        sums = grouped_exact_float_sum(
+            joined, ["dst"], "c", out_sum="s", out_n="_n",
+            num_partitions=num_partitions,
+        )
+
+        def update(b: pa.Table) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b["dst"],
+                "deg": b["deg"].cast(pa.float64()),
+                "rank": pa.array(base + damping * s, type=pa.float64()),
+            })
+
+        ranks = partitioned_lookup_join(
+            sums, deg_ds, "dst", "src",
+            [("dst", pa.int64()), ("s", pa.float64())],
+            [("deg", pa.int64(), "deg")],
+            num_partitions,
+        ).map_batches(update, batch_format="pyarrow",
+                      zero_copy_batch=True, batch_size=None).materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "rank": b["rank"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)

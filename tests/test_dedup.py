@@ -421,3 +421,59 @@ def test_edit_distance_pairs_vs_duckdb(ray_session, con):
     sub = edit_distance_pairs(SF, threshold=0.5, max_dist=cap).to_pandas()
     assert len(sub) < len(got)
     assert (sub["edit_dist"] <= cap).all()
+
+
+def test_neardup_pagerank_vs_duckdb_and_fallback(ray_session, con):
+    """2-iteration PageRank over the pair graph matches the unrolled
+    fsum-join oracle BIT-exactly; the partitioned fallback is
+    path-equal; rank mass stays 1 (every out-edge lands in-graph)."""
+    import numpy as np
+
+    from rios_ray.pipelines.dedup import neardup_pagerank
+
+    got = neardup_pagerank(SF, threshold=0.5, iters=2)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got.to_pandas()
+           ).sort_values("doc_id").reset_index(drop=True)
+    want = con.execute("""
+        WITH g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM docs),
+        g1 AS (SELECT doc_id,
+                      CASE WHEN len(words) < 3 THEN [text]
+                           ELSE list_distinct(list_transform(
+                                  generate_series(1, len(words) - 2),
+                                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                      END AS grams FROM g0),
+        grams AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+                    FROM grams a JOIN grams b
+                      ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+        jp AS (SELECT doc_a, doc_b FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM deg),
+        consts AS (SELECT CAST(1.0 AS DOUBLE) / n AS r0,
+                          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n AS base
+                     FROM nn),
+        c1 AS (SELECT e.dst AS node, fsum((SELECT r0 FROM consts) / d.deg) AS s
+                 FROM edges e JOIN deg d ON d.src = e.src GROUP BY 1),
+        r1 AS (SELECT node, (SELECT base FROM consts)
+                            + CAST(0.85 AS DOUBLE) * s AS rank FROM c1),
+        c2 AS (SELECT e.dst AS node, fsum(r1.rank / d.deg) AS s
+                 FROM edges e JOIN r1 ON r1.node = e.src
+                 JOIN deg d ON d.src = e.src GROUP BY 1)
+        SELECT node AS doc_id, (SELECT base FROM consts)
+                               + CAST(0.85 AS DOUBLE) * s AS rank
+          FROM c2 ORDER BY 1""").df()
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["rank"].to_numpy(), want["rank"].to_numpy())
+    # probability mass conserved (undirected graph: no dangling nodes)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # partitioned fallback is path-equal
+    got2 = neardup_pagerank(SF, threshold=0.5, iters=2, broadcast_cap=0)
+    got2 = got2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got2["rank"].to_numpy(), want["rank"].to_numpy())
