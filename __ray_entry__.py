@@ -411,6 +411,12 @@ def _q_token_percentile_rank(sf_dir: str):
     return token_percentile_rank(sf_dir)
 
 
+def _q_bm25_scores(sf_dir: str):
+    from rios_ray.pipelines.text import bm25_scores
+
+    return bm25_scores(sf_dir)
+
+
 def _q_quality_weighted_sample(sf_dir: str):
     from rios_ray.pipelines.text import quality_weighted_sample
 
@@ -974,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_edit_pairs": _q_dedup_edit_pairs,
         "neardup_pagerank": _q_neardup_pagerank,
         "quality_weighted_sample": _q_quality_weighted_sample,
+        "bm25_scores": _q_bm25_scores,
         "token_percentile_rank": _q_token_percentile_rank,
         "rel_q17_small_quantity_revenue": _q_rel_q17,
         "rel_q21_returns_suppliers": _q_rel_q21,
@@ -985,7 +992,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_dedup": _q_media_frame_dedup,
         "knn_embeddings_ivf": _q_knn_embeddings_ivf,
         "knn_embeddings_pq": _q_knn_embeddings_pq,
-        "emb_neardup": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
         "doc_length_token_corr": _q_doc_corr,
@@ -1018,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof,
         "rat_colstats": _q_rat_colstats,
         "knn_embeddings": _q_knn_embeddings,
+        "emb_neardup": _q_emb_neardup,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1321,6 +1328,47 @@ def _text_oracle_sql() -> dict[str, str]:
                      AS n_smaller,
                    percent_rank() OVER (ORDER BY n_tokens) AS pct_rank
               FROM t
+        """,
+        "bm25_scores": """
+            WITH q(term) AS (VALUES ('data'), ('join'), ('vector'), ('dup')),
+            dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS dl
+                     FROM documents),
+            stats AS (SELECT count(*) AS n,
+                             CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                             / count(*) AS avgdl
+                        FROM dd),
+            tf AS (SELECT dd.doc_id, q.term, dd.dl,
+                          len(list_filter(dd.toks, x -> x = q.term)) AS tf
+                     FROM dd CROSS JOIN q
+                    WHERE len(list_filter(dd.toks, x -> x = q.term)) > 0),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            idf AS (SELECT term,
+                           ln(((SELECT n FROM stats) - df
+                               + CAST(0.5 AS DOUBLE))
+                              / (df + CAST(0.5 AS DOUBLE))) AS idf
+                      FROM df),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          idf.idf * (
+                            (tf.tf * (CAST(1.2 AS DOUBLE)
+                                      + CAST(1.0 AS DOUBLE)))
+                            / (tf.tf + CAST(1.2 AS DOUBLE)
+                               * (CAST(1.0 AS DOUBLE)
+                                  - CAST(0.75 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (tf.dl / (SELECT avgdl FROM stats))))
+                          ) AS s
+                     FROM tf JOIN idf USING (term))
+            SELECT doc_id,
+                   ((COALESCE(max(CASE WHEN term = 'data' THEN s END),
+                              CAST(0.0 AS DOUBLE))
+                     + COALESCE(max(CASE WHEN term = 'join' THEN s END),
+                                CAST(0.0 AS DOUBLE)))
+                    + COALESCE(max(CASE WHEN term = 'vector' THEN s END),
+                               CAST(0.0 AS DOUBLE)))
+                   + COALESCE(max(CASE WHEN term = 'dup' THEN s END),
+                              CAST(0.0 AS DOUBLE)) AS score
+              FROM sc GROUP BY 1
         """,
         "quality_weighted_sample": rf"""
             WITH q AS (

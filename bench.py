@@ -133,6 +133,11 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def bm25():
+        from rios_ray.pipelines.text import bm25_scores
+
+        return bm25_scores(sf_dir).count()
+
     def pagerank():
         from rios_ray.pipelines.dedup import neardup_pagerank
 
@@ -332,6 +337,7 @@ def run_bench() -> dict:
         "dedup_minhash": minhash,
         "dedup_edit_pairs": edit_pairs,
         "neardup_pagerank": pagerank,
+        "bm25_scores": bm25,
         "dedup_clusters": clusters,
         "corpus_clean": clean,
         "rel_q1": rel_q1,

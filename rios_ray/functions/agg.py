@@ -411,9 +411,10 @@ def grouped_exact_float_sum(
     num_partitions: int | None = None,
 ):
     """(keys..., out_sum, out_n): per-group float64 sum that is
-    BIT-IDENTICAL to ``math.fsum`` / DuckDB ``fsum`` over the group's
-    values, independent of batch/partition order — the reproducible
-    float aggregate a DuckDB oracle can gate (plain SUM cannot be).
+    BIT-IDENTICAL to ``math.fsum`` over the group's values, independent
+    of batch/partition order — the reproducible float aggregate a
+    DuckDB ``fsum`` oracle can gate on well-conditioned data (module
+    comment has the Kahan caveat; plain SUM is gateable never).
 
     Finite values only (an Inf/NaN would need a sticky flag, not a
     mantissa bucket).  Per-batch partials emit one (keys, exponent,

@@ -714,7 +714,8 @@ def neardup_pagerank(
 
     The iterative-message-passing shape with BIT-EXACT float parity:
     every per-node in-sum is the exact order-independent float sum
-    (``functions.agg.grouped_exact_float_sum`` == DuckDB ``fsum``), and
+    (``functions.agg.grouped_exact_float_sum``; the oracle's Kahan
+    ``fsum`` coincides exactly on these same-sign contributions), and
     every scalar step (1/n, (1-d)/n, rank/deg, d*s, base+x) is a single
     IEEE op shared with the oracle SQL, so after any number of
     iterations the ranks match the unrolled-join oracle bit-for-bit.

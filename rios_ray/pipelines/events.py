@@ -19,9 +19,10 @@ streams, expressed Ray-Data-first:
   event at numpy speed.  The partitioning assumption (all of a user's
   events in one partition) is the documented co-location contract.
 
-Float sums are excluded from oracle-checked outputs (associativity of
-float addition differs between engines); counts and min/max compare
-bit-exactly.
+Float sums in oracle-checked outputs are either excluded (associativity
+of float addition differs between engines; counts and min/max compare
+bit-exactly) or routed through the EXACT order-independent sum
+(``value_mean_per_type`` via ``functions.agg.grouped_exact_float_sum``).
 """
 
 from __future__ import annotations
@@ -664,9 +665,11 @@ def value_mean_per_type(sf_dir: str) -> ray.data.Dataset:
     aggregate in this repo is integer-lifted.  This one uses
     ``functions.agg.grouped_exact_float_sum`` — exponent-bucketed exact
     integer mantissa accumulation, mergeable across any partitioning,
-    correctly rounded once at the end — so the sum equals
-    ``math.fsum`` and DuckDB's ``fsum`` bit-for-bit (verified) and the
-    mean is one shared IEEE division.  The per-group combiner state is
+    correctly rounded once at the end — so the sum equals ``math.fsum``
+    bit-for-bit and the mean is one shared IEEE division.  The DuckDB
+    oracle's ``fsum`` is Kahan-compensated; on this column (same-sign,
+    condition number ~1) Kahan IS the exactly-rounded sum, so the gate
+    is bitwise (functions/agg.py has the mixed-sign caveat).  The per-group combiner state is
     ~60 exponent buckets regardless of row count, so the exchange stays
     combiner-sized at any scale.
     """

@@ -364,6 +364,108 @@ def token_quantiles(sf_dir: str, qs: tuple = QUANTILES):
     return pd.DataFrame(rows)
 
 
+BM25_TERMS = ("data", "join", "vector", "dup")  # mixed document frequencies
+
+
+def bm25_scores(sf_dir: str, terms: tuple = BM25_TERMS,
+                k1: float = 1.2, b: float = 0.75) -> ray.data.Dataset:
+    """(doc_id, score): Okapi BM25 relevance of every document against
+    a fixed query-term set — the retrieval-scoring operator, with
+    BIT-EXACT float parity against the SQL oracle.
+
+    Exactness plan: corpus stats (n docs, per-term document frequency,
+    total token count) are INTEGERS from a combiner exchange; ``avgdl``
+    and each per-(doc,term) score are fixed chains of single IEEE ops
+    mirrored literally in the SQL (all constants forced to DOUBLE there
+    — bare decimals parse as DECIMAL and diverge); the per-doc sum over
+    the FIXED term set is a left-associated chain of adds in term order
+    (unmatched terms contribute 0.0), mirrored by an explicit
+    parenthesized COALESCE-pivot in the SQL — NOT an aggregate: BM25
+    scores are mixed-sign, and DuckDB's ``fsum`` is Kahan-compensated
+    (observed 1-ulp off the exactly-rounded sum on 3 mixed-sign terms),
+    so only a fixed-order scalar chain is engine-mirrorable.  ``ln`` is
+    bit-identical libm on this platform (verified for the HLL oracle).
+
+    Two passes (the corpus-statistic shape): stats first, then a
+    streaming score scan with the tiny (term, df, idf) table broadcast.
+    Tokens are ``text.split(" ")`` — the oracle's ``string_split``.
+    """
+    import math
+
+    import pyarrow as pa
+
+    from ..functions.agg import hash_grouped_aggregate
+
+    terms = tuple(terms)
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def _tf_dl(b_: pa.Table):
+        """(tf matrix docs x terms, dl vector) for one batch."""
+        tok = [s.split(" ") for s in b_["text"].to_pylist()]
+        dl = np.fromiter((len(t) for t in tok), dtype=np.int64, count=len(tok))
+        flat = np.concatenate(tok) if tok else np.zeros(0, object)
+        doc_of = np.repeat(np.arange(len(tok)), dl)
+        tf = np.zeros((len(tok), len(terms)), dtype=np.int64)
+        for t, j in t_index.items():
+            hit = flat == t
+            if hit.any():
+                tf[:, j] = np.bincount(doc_of[hit], minlength=len(tok))
+        return tf, dl
+
+    def stats_partial(b_: pa.Table) -> pa.Table:
+        tf, dl = _tf_dl(b_)
+        return pa.table({
+            "term_idx": pa.array(np.arange(len(terms) + 1, dtype=np.int64)),
+            "df": pa.array(np.concatenate([(tf > 0).sum(axis=0), [0]])),
+            "n_docs": pa.array([0] * len(terms) + [len(dl)], type=pa.int64()),
+            "sum_dl": pa.array([0] * len(terms) + [int(dl.sum())], type=pa.int64()),
+        })
+
+    stats = hash_grouped_aggregate(
+        read_documents(sf_dir, columns=["text"]).map_batches(
+            stats_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=BATCH_SIZE,
+        ),
+        ["term_idx"],
+        [("df", "sum", "df"), ("n_docs", "sum", "n_docs"),
+         ("sum_dl", "sum", "sum_dl")],
+        final_mode="tree",
+    ).to_pandas().set_index("term_idx")
+    n = int(stats["n_docs"].sum())
+    avgdl = float(int(stats["sum_dl"].sum())) / n  # exact ints, one division
+    df = np.array([int(stats.loc[j, "df"]) for j in range(len(terms))])
+    idf = np.array([
+        math.log((n - int(d) + 0.5) / (int(d) + 0.5)) for d in df
+    ])
+    ref = ray.put(idf)
+
+    def score(b_: pa.Table) -> pa.Table:
+        idf_ = ray.get(ref)
+        tf, dl = _tf_dl(b_)
+        tf_f = tf.astype(np.float64)
+        dl_f = dl.astype(np.float64)
+        num = tf_f * (k1 + 1.0)
+        den = tf_f + k1 * (1.0 - b + b * (dl_f / avgdl)[:, None])
+        per_term = idf_[None, :] * (num / den)
+        matched = tf > 0
+        keep = matched.any(axis=1)
+        # fixed-order left-associated chain over the term set, 0.0 for
+        # unmatched — the only summation order SQL can mirror exactly
+        contrib = np.where(matched, per_term, 0.0)
+        scores = contrib[:, 0]
+        for j in range(1, len(terms)):
+            scores = scores + contrib[:, j]
+        return pa.table({
+            "doc_id": b_["doc_id"].filter(pa.array(keep)),
+            "score": pa.array(scores[keep], type=pa.float64()),
+        })
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+
+
 def token_percentile_rank(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_tokens, n_smaller, pct_rank): every document's global
     token-count percentile rank — the ``PERCENT_RANK() OVER (ORDER BY

@@ -705,3 +705,52 @@ def test_token_percentile_rank_vs_duckdb(ray_session, con):
     assert np.array_equal(got["pct_rank"].to_numpy(),
                           want["pct_rank"].to_numpy())
     assert got["pct_rank"].max() > 0.9 and got["pct_rank"].min() == 0.0
+
+
+def test_bm25_scores_bit_exact_vs_duckdb(ray_session, con):
+    """BM25 against the fixed term set matches the SQL mirror
+    bit-for-bit (integer corpus stats, shared IEEE op chains, fixed-
+    order term sum — DuckDB's Kahan fsum is NOT exact on these
+    mixed-sign values, which is why the oracle pivots instead)."""
+    from rios_ray.pipelines.text import bm25_scores
+
+    got = bm25_scores(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = con.execute("""
+        WITH q(term) AS (VALUES ('data'), ('join'), ('vector'), ('dup')),
+        dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS dl FROM docs),
+        stats AS (SELECT count(*) AS n,
+                         CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
+                    FROM dd),
+        tf AS (SELECT dd.doc_id, q.term, dd.dl,
+                      len(list_filter(dd.toks, x -> x = q.term)) AS tf
+                 FROM dd CROSS JOIN q
+                WHERE len(list_filter(dd.toks, x -> x = q.term)) > 0),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, ln(((SELECT n FROM stats) - df + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE))) AS idf FROM df),
+        sc AS (SELECT tf.doc_id, tf.term,
+                      idf.idf * ((tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                         - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                           * (tf.dl / (SELECT avgdl FROM stats))))) AS s
+                 FROM tf JOIN idf USING (term))
+        SELECT doc_id,
+               ((COALESCE(max(CASE WHEN term = 'data' THEN s END), CAST(0.0 AS DOUBLE))
+                 + COALESCE(max(CASE WHEN term = 'join' THEN s END), CAST(0.0 AS DOUBLE)))
+                + COALESCE(max(CASE WHEN term = 'vector' THEN s END), CAST(0.0 AS DOUBLE)))
+               + COALESCE(max(CASE WHEN term = 'dup' THEN s END), CAST(0.0 AS DOUBLE)) AS score
+          FROM sc GROUP BY 1 ORDER BY 1""").df()
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["score"].to_numpy(), want["score"].to_numpy())
+    # the rare term carries the only positive idf (df << n/2), so docs
+    # containing 'dup' score higher on average than the rest
+    import pyarrow.parquet as pq
+    texts = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas()
+    has_dup = set(texts.loc[[("dup" in t.split(" ")) for t in texts["text"]], "doc_id"])
+    if has_dup:
+        g = got.set_index("doc_id")["score"]
+        dup_mean = g[g.index.isin(has_dup)].mean()
+        rest_mean = g[~g.index.isin(has_dup)].mean()
+        assert dup_mean > rest_mean
