@@ -947,12 +947,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the FIRST 50 entries of this dict; every query touched in the current
     # round plus anything never yet witnessed stays inside the window, and
     # long-green untouched stalwarts rotate to the back (their green rows
-    # live in CORRECTNESS_r01/r02/r03.json).  Round-4 rotation: IN come the
-    # two r3-new queries that never had a driver row (rel_q7_volume_shipping,
-    # cell_gradient — VERDICT r3 #1) plus the r4-touched decontaminate
-    # (ngram scale path added) and polygon_raster_cells (burn_block
-    # vectorized + allTouched); OUT go events_tumbling / events_sliding /
-    # rel_q22 / rel_q14 (all green in r03, code untouched since).
+    # live in CORRECTNESS_r01/r02/r03.json).  Round-4 rotation — IN:
+    # the two r3-new queries that never had a driver row
+    # (rel_q7_volume_shipping, cell_gradient — VERDICT r3 #1), the
+    # r4-touched decontaminate (ngram scale path) and
+    # polygon_raster_cells (burn_block vectorized + allTouched), and the
+    # ELEVEN queries NEW this round (rel_q13/q17/q21, dedup_edit_pairs,
+    # neardup_pagerank, quality_weighted_sample, bm25_scores,
+    # token_percentile_rank, events_value_mean; events_users_hll gained
+    # its register-sidecar oracle and media_frame_dedup its FNV default
+    # in place).  OUT (all green in r03, code untouched since):
+    # events_tumbling/sliding/retention/bigrams/funnel/distinct_users/
+    # asof_join, rel_q22/q14, lang_confusion, rat_colstats,
+    # knn_embeddings, emb_neardup.
     return {
         # --- events (r3 window; quantiles/HLL/deltas touched r4) ---
         "events_sessions": _q_events_sessions,
