@@ -2050,8 +2050,11 @@ def _relational_oracle_sql() -> dict[str, str]:
 
 
 def _events_oracle_sql() -> dict[str, str]:
-    """Window oracles over the ``events`` view.  Counts and min/max only
-    (float sums are not associativity-stable across engines)."""
+    """Window oracles over the ``events`` view.  Counts and min/max
+    compare bit-exactly; float sums appear ONLY where the engine uses
+    the exact order-independent sum (events_value_mean via fsum — see
+    functions/agg.py for the Kahan caveat) or a deterministic estimator
+    (events_users_hll)."""
     from rios_ray.pipelines.events import (
         DEFAULT_GAP_US,
         DEFAULT_WINDOW_US,

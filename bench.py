@@ -141,8 +141,7 @@ def run_bench() -> dict:
     def pagerank():
         from rios_ray.pipelines.dedup import neardup_pagerank
 
-        t = neardup_pagerank(sf_dir, threshold=0.5, iters=2)
-        return t if not hasattr(t, "count") else t.count()
+        return neardup_pagerank(sf_dir, threshold=0.5, iters=2).count()
 
     def rel_q13():
         from rios_ray.pipelines.relational import q13_customer_distribution

@@ -747,6 +747,31 @@ class VectorInput:
     projection: str | None = None  # None -> assume working-grid CRS
 
 
+def _clip_segments(c0, r0, c1, r1, cmin: float, cmax: float,
+                   rmin: float, rmax: float):
+    """Vectorized Liang-Barsky: clip each segment to the rectangle
+    [cmin, cmax] x [rmin, rmax] in continuous cell coordinates.
+    Returns (keep mask, clipped c0, r0, c1, r1 for the kept rows)."""
+    dc, dr = c1 - c0, r1 - r0
+    t0 = np.zeros(len(c0))
+    t1 = np.ones(len(c0))
+    keep = np.ones(len(c0), dtype=bool)
+    for p, q in ((-dc, c0 - cmin), (dc, cmax - c0),
+                 (-dr, r0 - rmin), (dr, rmax - r0)):
+        zero = p == 0.0
+        keep &= ~(zero & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / p
+        t0 = np.where(~zero & (p < 0.0), np.maximum(t0, t), t0)
+        t1 = np.where(~zero & (p > 0.0), np.minimum(t1, t), t1)
+    keep &= t0 <= t1
+    cc0 = c0 + t0 * dc
+    rr0 = r0 + t0 * dr
+    cc1 = c0 + t1 * dc
+    rr1 = r0 + t1 * dr
+    return keep, cc0[keep], rr0[keep], cc1[keep], rr1[keep]
+
+
 def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir,
                       controls: "ApplierControls | None" = None,
                       name: str | None = None):
@@ -856,16 +881,25 @@ def _rasterize_vector(vi: VectorInput, wg, B_y: int, B_x: int, out_dir,
                 # supercover of every edge whose pixel bbox meets the
                 # block: all-touched = center-inside UNION edge cells
                 # (a cell meeting the interior with its center outside
-                # must contain boundary)
+                # must contain boundary).  Each selected edge is FIRST
+                # parametrically clipped to the block rectangle
+                # (vectorized Liang-Barsky) so the crossing walk is
+                # O(edge length INSIDE the block) — without the clip a
+                # long edge re-walks its full length once per block it
+                # touches (O(blocks x length) at scale)
                 m = (
                     (ehi_c >= left) & (elo_c < left + nc)
                     & (ehi_r >= top) & (elo_r < top + nr)
                 )
                 if m.any():
                     sel = np.flatnonzero(m)
-                    sidx, rws, cls_ = supercover_cells(
-                        ec1[sel], er1[sel], ec2[sel], er2[sel]
+                    keep, cc0, rr0, cc1, rr1 = _clip_segments(
+                        ec1[sel], er1[sel], ec2[sel], er2[sel],
+                        float(left), float(left + nc),
+                        float(top), float(top + nr),
                     )
+                    sel = sel[keep]
+                    sidx, rws, cls_ = supercover_cells(cc0, rr0, cc1, rr1)
                     inb = (
                         (rws >= top) & (rws < top + nr)
                         & (cls_ >= left) & (cls_ < left + nc)

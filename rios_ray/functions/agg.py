@@ -427,6 +427,12 @@ def grouped_exact_float_sum(
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
 
+        empty_schema = pa.schema(
+            [(k, b.schema.field(k).type) for k in keys]
+            + [("_exp", pa.int64()), ("_mant", pa.string()), ("_n", pa.int64())]
+        )
+        if b.num_rows == 0:
+            return empty_schema.empty_table()
         df_keys = [b[k].to_numpy(zero_copy_only=False) for k in keys]
         vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         codes, uniq = pd.factorize(

@@ -706,7 +706,7 @@ def neardup_pagerank(
     damping: float = 0.85,
     broadcast_cap: int = 50_000_000,
     num_partitions: int | None = None,
-) -> "object":
+) -> ray.data.Dataset:
     """(doc_id, rank): PageRank over the undirected near-duplicate
     graph — which documents sit at the CENTER of duplicate families
     (rank concentrates on hub texts copied everywhere; the keep-priority
@@ -758,8 +758,10 @@ def neardup_pagerank(
     ).materialize()
     n_nodes = deg_ds.count()
     if n_nodes == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.float64())})
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
     # one shared IEEE op per scalar, mirrored literally in the oracle
     r0 = 1.0 / n_nodes
     base = (1.0 - damping) / n_nodes
@@ -791,10 +793,10 @@ def neardup_pagerank(
             pos = np.searchsorted(nodes, sums["dst"].to_numpy())
             s[pos] = sums["s"].to_numpy()
             rank = base + damping * s  # elementwise: one mul + one add
-        return pa.table({
+        return ray.data.from_arrow(pa.table({
             "doc_id": pa.array(nodes, type=pa.int64()),
             "rank": pa.array(rank, type=pa.float64()),
-        })
+        }))
 
     # partitioned path: rank travels as a dataset, joined to edges per
     # iteration (same float ops, exchange-sized by nodes, not corpus)

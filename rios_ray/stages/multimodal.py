@@ -85,7 +85,7 @@ def stage_fn(cls, **kwargs):
     #2).  Use the actor-pool class directly when ``__init__`` is
     genuinely expensive (real model-loading codecs).
     """
-    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+    key = (cls, tuple(sorted(kwargs.items())))
 
     def fn(b: pa.Table) -> pa.Table:
         stage = _FN_CACHE.get(key)

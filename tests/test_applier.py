@@ -372,6 +372,25 @@ def test_vector_all_touched_golden_diff(fixtures, ray_session, tmp_path):
     )
     assert ((got != 0) >= (center != 0)).all()  # superset of center rule
 
+    # block-size invariance: with 32x32 blocks every edge crosses
+    # several blocks, exercising the per-block Liang-Barsky clip — the
+    # mask must be identical to the single-big-block run
+    controls2 = ApplierControls()
+    controls2.setReference("img")
+    controls2.setCalcStats(False)
+    controls2.setAlltouched(True, "mask")
+    controls2.setWindowSize(32, 32)
+    out2 = str(tmp_path / "at_mask_32.parquet")
+    apply(
+        copy_mask,
+        {"img": fixtures["ramp"].path,
+         "mask": VectorInput(polys, burn_col="burn_value", where=("category", "mask"))},
+        {"out": out2},
+        controls=controls2,
+        out_dir=str(tmp_path),
+    )
+    assert np.array_equal(_read_back(out2)[0], got)
+
 
 def test_vector_input_non_intersecting_empty(fixtures, ray_session, tmp_path):
     """Non-intersecting vector yields an all-zero mask

@@ -431,9 +431,8 @@ def test_neardup_pagerank_vs_duckdb_and_fallback(ray_session, con):
 
     from rios_ray.pipelines.dedup import neardup_pagerank
 
-    got = neardup_pagerank(SF, threshold=0.5, iters=2)
-    got = (got.to_pandas() if hasattr(got, "to_pandas") else got.to_pandas()
-           ).sort_values("doc_id").reset_index(drop=True)
+    got = neardup_pagerank(SF, threshold=0.5, iters=2).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
     want = con.execute("""
         WITH g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM docs),
         g1 AS (SELECT doc_id,
