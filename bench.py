@@ -93,11 +93,19 @@ def run_bench() -> dict:
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
     def timed(name: str, fn):
+        import gc
+
         its = []
         for _ in range(repeats):
             t0 = time.time()
             fn()
             its.append(round(time.time() - t0, 3))
+            # drop lingering Dataset/materialize refs OUTSIDE the clock:
+            # without this, blocks pinned by cyclic garbage from earlier
+            # queries accumulate in the object store across the suite
+            # and materialize-heavy entries late in the run pay spill
+            # I/O (rel_q21 measured 7.6 s mid-suite vs 1.5 s fresh)
+            gc.collect()
         # per-iteration raw values travel in the JSON so a reader can
         # tell steal-window noise (spread across iters) from a real
         # regression (all iters slow) without a rerun
