@@ -487,6 +487,12 @@ def _q_dedup_minhash(sf_dir: str):
     return D.minhash_pairs(sf_dir, threshold=0.5)
 
 
+def _q_neardup_triangles(sf_dir: str):
+    from rios_ray.pipelines.dedup import neardup_triangles
+
+    return neardup_triangles(sf_dir, threshold=0.5)
+
+
 def _q_neardup_pagerank(sf_dir: str):
     from rios_ray.pipelines.dedup import neardup_pagerank
 
@@ -986,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q13_customer_distribution": _q_rel_q13,
         "dedup_edit_pairs": _q_dedup_edit_pairs,
         "neardup_pagerank": _q_neardup_pagerank,
+        "neardup_triangles": _q_neardup_triangles,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "bm25_scores": _q_bm25_scores,
         "token_percentile_rank": _q_token_percentile_rank,
@@ -1001,7 +1008,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings_pq": _q_knn_embeddings_pq,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "emb_neardup_clusters": _q_emb_neardup_clusters,
-        "doc_length_token_corr": _q_doc_corr,
         # --- (b) touched this round / flagship-critical ---
         "flagship_cell_category": _q_flagship,
         "pages_cube": _q_pages_cube,
@@ -1032,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rat_colstats": _q_rat_colstats,
         "knn_embeddings": _q_knn_embeddings,
         "emb_neardup": _q_emb_neardup,
+        "doc_length_token_corr": _q_doc_corr,
         "events_retention": _q_events_retention,
         "events_bigrams": _q_events_bigrams,
         "lang_confusion": _q_lang_confusion,
@@ -1677,6 +1684,25 @@ def _dedup_oracle_sql() -> dict[str, str]:
               FROM jp
               JOIN documents da ON da.doc_id = jp.doc_a
               JOIN documents db ON db.doc_id = jp.doc_b
+        """,
+        "neardup_triangles": f"""
+            WITH e AS (
+                SELECT doc_a AS a, doc_b AS b
+                  FROM (WITH {_GRAMS_CTE}, {jaccard_tail.format(cap=10**9)})
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1
+                  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node AS doc_id, count(*) AS n_triangles
+              FROM corners GROUP BY 1
         """,
         # 2-iteration PageRank unrolled as joins.  Bit-exact float
         # parity: fsum is the exact order-independent in-sum (== the

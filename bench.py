@@ -141,6 +141,11 @@ def run_bench() -> dict:
 
         return q5_nation_revenue(sf_dir).to_pandas()
 
+    def triangles():
+        from rios_ray.pipelines.dedup import neardup_triangles
+
+        return neardup_triangles(sf_dir, threshold=0.5).count()
+
     def bm25():
         from rios_ray.pipelines.text import bm25_scores
 
@@ -345,6 +350,7 @@ def run_bench() -> dict:
         "dedup_edit_pairs": edit_pairs,
         "neardup_pagerank": pagerank,
         "bm25_scores": bm25,
+        "neardup_triangles": triangles,
         "dedup_clusters": clusters,
         "corpus_clean": clean,
         "rel_q1": rel_q1,

@@ -851,3 +851,182 @@ def neardup_pagerank(
 
     return ranks.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
+
+
+def neardup_triangles(
+    sf_dir: str,
+    ngram: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    broadcast_cap_edges: int = 50_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_triangles): per-document triangle count in the
+    near-duplicate graph — the local clustering signal (a document in
+    many triangles sits inside a dense copy-family; bridges between
+    families sit in none).
+
+    The scale-correct enumeration is degree-ordered "compact-forward":
+    every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, wedges are generated ONLY between out-edges of a common
+    source (out-degree is bounded by O(sqrt(m)) under this orientation,
+    so wedge fan-out is bounded by arboricity, not by hub degree^2),
+    and each triangle closes exactly once.  Wedge generation is the
+    size-grouped vectorized pair emission of the dedup exchanges
+    (``_run_pair_indices``); closure is one sorted-u64 membership test
+    against the oriented-edge key set (broadcast under
+    ``broadcast_cap_edges``; partitioned exists-join fallback).
+    Output counts are exact integers — the oracle is the literal 3-way
+    self-join.
+    """
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+
+    if num_partitions is None:
+        num_partitions = _default_join_partitions()
+    pairs = minhash_pairs(
+        sf_dir, ngram=ngram, threshold=threshold, num_partitions=num_partitions
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+
+    # degree per endpoint (undirected)
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b["doc_a"].combine_chunks().cast(pa.int64()),
+            b["doc_b"].combine_chunks().cast(pa.int64()),
+        ])})
+
+    deg = hash_grouped_aggregate(
+        pairs.map_batches(both_ends, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        ["node"], [(None, "count", "deg")], num_partitions,
+    ).to_pandas().sort_values("node")
+    nodes = deg["node"].to_numpy()
+    degs = deg["deg"].to_numpy().astype(np.int64)
+    deg_ref = ray.put((nodes, degs))
+
+    def orient(b: pa.Table) -> pa.Table:
+        """src -> dst with (deg, id) order: src is the smaller endpoint."""
+        ks, ds = ray.get(deg_ref)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        da = ds[np.searchsorted(ks, a)]
+        dc = ds[np.searchsorted(ks, c)]
+        a_first = (da < dc) | ((da == dc) & (a < c))
+        return pa.table({
+            "src": pa.array(np.where(a_first, a, c), type=pa.int64()),
+            "dst": pa.array(np.where(a_first, c, a), type=pa.int64()),
+        })
+
+    oriented = pairs.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    # membership keys of ORIENTED edges (order-sensitive mix, same as
+    # the gram-pair trick); collisions impossible below 2^32 node ids
+    # would still be astronomically rare at 64 bits — and the oracle
+    # gate would catch one
+    def edge_keys(t: pa.Table) -> np.ndarray:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return s * np.uint64(0x9E3779B97F4A7C15) ^ d
+
+    n_edges = oriented.count()
+    if n_edges <= broadcast_cap_edges:
+        keys = np.sort(np.concatenate([
+            edge_keys(t) for t in ray.get(oriented.to_arrow_refs()) if t.num_rows
+        ])) if n_edges else np.zeros(0, np.uint64)
+        keys_ref = ray.put(keys)
+
+        def close_wedges(t: pa.Table) -> pa.Table:
+            """Wedges between out-edges of each src; emit per-corner
+            triangle-count partials for the closed ones.  Out-neighbors
+            are ordered by the SAME (deg, id) rank used to orient edges,
+            so a closed wedge's (b1, b2) is exactly the stored oriented
+            closing edge."""
+            ks = ray.get(keys_ref)
+            dks, dds = ray.get(deg_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ddeg = dds[np.searchsorted(dks, dst)]
+            order = np.lexsort((dst, ddeg, src))
+            src, dst = src[order], dst[order]
+            new = np.concatenate([[True], src[1:] != src[:-1]]) if len(src) else np.zeros(0, bool)
+            ia, ib = _run_pair_indices(new)
+            if not len(ia):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "n_part": pa.array([], pa.int64())})
+            b1, b2 = dst[ia], dst[ib]  # b1 before b2 in (deg, id) order
+            with np.errstate(over="ignore"):
+                wk = b1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+                    ^ b2.astype(np.uint64)
+            pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
+            closed = (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
+            corners = np.concatenate([src[ia][closed], b1[closed], b2[closed]])
+            u, c = np.unique(corners, return_counts=True)
+            return pa.table({"node": pa.array(u, type=pa.int64()),
+                             "n_part": pa.array(c, type=pa.int64())})
+
+        partials = hash_partitioned_groups(
+            oriented, ["src"], close_wedges, num_partitions=num_partitions
+        )
+    else:
+        from ..functions.join import partitioned_exists_join
+
+        def wedges(t: pa.Table) -> pa.Table:
+            dks, dds = ray.get(deg_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ddeg = dds[np.searchsorted(dks, dst)]
+            order = np.lexsort((dst, ddeg, src))
+            src, dst = src[order], dst[order]
+            new = np.concatenate([[True], src[1:] != src[:-1]]) if len(src) else np.zeros(0, bool)
+            ia, ib = _run_pair_indices(new)
+            b1, b2 = dst[ia], dst[ib]
+            with np.errstate(over="ignore"):
+                wk = b1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+                    ^ b2.astype(np.uint64)
+            return pa.table({
+                "a": pa.array(src[ia], type=pa.int64()),
+                "b1": pa.array(b1, type=pa.int64()),
+                "b2": pa.array(b2, type=pa.int64()),
+                "wkey": pa.array(wk.view(np.int64)),
+            })
+
+        def ekeys(t: pa.Table) -> pa.Table:
+            return pa.table({"wkey": pa.array(edge_keys(t).view(np.int64))})
+
+        wedge_ds = hash_partitioned_groups(
+            oriented, ["src"], wedges, num_partitions=num_partitions
+        )
+        closed = partitioned_exists_join(
+            wedge_ds,
+            oriented.map_batches(ekeys, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None),
+            "wkey", "wkey",
+            [("a", pa.int64()), ("b1", pa.int64()), ("b2", pa.int64())],
+            num_partitions,
+        )
+
+        def corners(t: pa.Table) -> pa.Table:
+            allc = np.concatenate([
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b1"].to_numpy(zero_copy_only=False),
+                t["b2"].to_numpy(zero_copy_only=False),
+            ]) if t.num_rows else np.zeros(0, np.int64)
+            u, c = np.unique(allc, return_counts=True)
+            return pa.table({"node": pa.array(u, type=pa.int64()),
+                             "n_part": pa.array(c, type=pa.int64())})
+
+        partials = closed.map_batches(
+            corners, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+    out = hash_grouped_aggregate(
+        partials, ["node"], [("n_part", "sum", "n_triangles")], num_partitions
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "n_triangles": b["n_triangles"]})
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

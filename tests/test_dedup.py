@@ -476,3 +476,43 @@ def test_neardup_pagerank_vs_duckdb_and_fallback(ray_session, con):
     got2 = got2.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got2["doc_id"].tolist() == want["doc_id"].tolist()
     assert np.array_equal(got2["rank"].to_numpy(), want["rank"].to_numpy())
+
+
+def test_neardup_triangles_vs_duckdb(ray_session, con):
+    """Per-vertex triangle counts (degree-ordered compact-forward
+    enumeration) match the literal SQL 3-way self-join over the same
+    verified pair set; broadcast and partitioned paths are path-equal;
+    corner sum is divisible by 3."""
+    from rios_ray.pipelines.dedup import neardup_triangles
+
+    got = neardup_triangles(SF, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = con.execute("""
+        WITH g0 AS (SELECT doc_id, string_split(text,' ') AS words, text FROM docs),
+        g1 AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [text]
+                    ELSE list_distinct(list_transform(
+                         generate_series(1, len(words)-2),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               END AS grams FROM g0),
+        grams AS (SELECT doc_id, unnest(grams) AS gram, len(grams) AS n_grams FROM g1),
+        p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n_grams AS n_a, b.n_grams AS n_b, count(*) AS shared
+                 FROM grams a JOIN grams b
+                   ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p0
+               WHERE CAST(shared AS DOUBLE)/(n_a+n_b-shared) >= 0.5),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        corners AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+        SELECT node AS doc_id, count(*) AS n_triangles
+          FROM corners GROUP BY 1 ORDER BY 1""").df()
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_triangles"].tolist() == want["n_triangles"].tolist()
+    assert got["n_triangles"].sum() % 3 == 0
+    got2 = neardup_triangles(SF, threshold=0.5, broadcast_cap_edges=0
+                             ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got2["n_triangles"].tolist() == want["n_triangles"].tolist()
