@@ -4,6 +4,7 @@ Mirrors the graft driver's correctness gate: row count + schema (column
 names) + order-insensitive value hash.  Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [sf_dir] --window   # first 50 only
 """
 
 from __future__ import annotations
@@ -70,8 +71,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     import ray
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -82,6 +85,8 @@ def main() -> int:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    if window_only:  # exactly what the driver gates: the first 50 entries
+        qs = dict(list(qs.items())[:50])
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
