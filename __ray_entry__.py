@@ -2645,17 +2645,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT url, frame_idx,
                        md5(substring(decode(html),
                                      CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
-                                     {_FRAME_BYTES})) AS frame_md5
+                                     {_FRAME_BYTES})) AS frame_key
                   FROM idx
             ),
             d AS (
-                SELECT frame_md5, url, frame_idx,
-                       row_number() OVER (PARTITION BY frame_md5
+                SELECT frame_key, url, frame_idx,
+                       row_number() OVER (PARTITION BY frame_key
                                           ORDER BY url, frame_idx) AS rn,
-                       count(*) OVER (PARTITION BY frame_md5) AS n_copies
+                       count(*) OVER (PARTITION BY frame_key) AS n_copies
                   FROM f
             )
-            SELECT frame_md5, url AS keep_url, frame_idx AS keep_idx, n_copies
+            SELECT frame_key, url AS keep_url, frame_idx AS keep_idx, n_copies
               FROM d WHERE rn = 1
         """,
         "media_frame_samples": f"""

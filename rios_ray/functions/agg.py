@@ -440,6 +440,16 @@ def grouped_exact_float_sum(
             else pd.Index(df_keys[0]),
             sort=False,
         )
+        if (codes < 0).any():
+            # factorize encodes null keys as -1; uniq[-1] would silently
+            # fold their mantissa buckets into the batch's LAST group
+            # (and the merge's pandas groupby would then drop the null
+            # group anyway).  Exact sums over null keys are undefined
+            # here — fail loudly instead of corrupting a real group.
+            raise ValueError(
+                f"grouped_exact_float_sum: null values in key column(s) "
+                f"{keys}; drop or fill nulls before aggregating"
+            )
         order = np.argsort(codes, kind="stable")
         cs = codes[order]
         bounds = np.flatnonzero(np.diff(cs)) + 1

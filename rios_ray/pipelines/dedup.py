@@ -853,6 +853,30 @@ def neardup_pagerank(
                              zero_copy_batch=True, batch_size=None)
 
 
+def _pair_member(ks, eb1, eb2, wk, b1, b2):
+    """Exact vectorized membership of (b1, b2) pairs in the edge set
+    sorted by (wkey, b1, b2): searchsorted on the key, then scan the
+    (almost always length-1) equal-key run comparing real pairs."""
+    n = len(ks)
+    if n == 0:
+        return np.zeros(len(wk), bool)
+    pos = np.searchsorted(ks, wk)
+    closed = np.zeros(len(wk), bool)
+    live = pos < n
+    while live.any():
+        p = pos[live]
+        same = ks[p] == wk[live]
+        hit = same & (eb1[p] == b1[live]) & (eb2[p] == b2[live])
+        closed[np.flatnonzero(live)[hit]] = True
+        # keep scanning only unresolved rows still inside their run
+        nxt = np.flatnonzero(live)[same & ~hit]
+        live = np.zeros(len(wk), bool)
+        live[nxt] = True
+        pos[nxt] += 1
+        live &= pos < n
+    return closed
+
+
 def neardup_triangles(
     sf_dir: str,
     ngram: int = DEFAULT_NGRAM,
@@ -920,9 +944,10 @@ def neardup_triangles(
     ).materialize()
 
     # membership keys of ORIENTED edges (order-sensitive mix, same as
-    # the gram-pair trick); collisions impossible below 2^32 node ids
-    # would still be astronomically rare at 64 bits — and the oracle
-    # gate would catch one
+    # the gram-pair trick).  The 64-bit key is only an INDEX: every
+    # candidate hit is verified against the actual (src, dst) pair, so
+    # a key collision can never fabricate a triangle — the counts are
+    # exact integers, full stop.
     def edge_keys(t: pa.Table) -> np.ndarray:
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
         d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -931,9 +956,18 @@ def neardup_triangles(
 
     n_edges = oriented.count()
     if n_edges <= broadcast_cap_edges:
-        keys = np.sort(np.concatenate([
-            edge_keys(t) for t in ray.get(oriented.to_arrow_refs()) if t.num_rows
-        ])) if n_edges else np.zeros(0, np.uint64)
+        if n_edges:
+            parts = [t for t in ray.get(oriented.to_arrow_refs()) if t.num_rows]
+            wk_all = np.concatenate([edge_keys(t) for t in parts])
+            b1_all = np.concatenate(
+                [t["src"].to_numpy(zero_copy_only=False) for t in parts])
+            b2_all = np.concatenate(
+                [t["dst"].to_numpy(zero_copy_only=False) for t in parts])
+            order = np.lexsort((b2_all, b1_all, wk_all))
+            keys = (wk_all[order], b1_all[order], b2_all[order])
+        else:
+            keys = (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                    np.zeros(0, np.int64))
         keys_ref = ray.put(keys)
 
         def close_wedges(t: pa.Table) -> pa.Table:
@@ -942,7 +976,7 @@ def neardup_triangles(
             are ordered by the SAME (deg, id) rank used to orient edges,
             so a closed wedge's (b1, b2) is exactly the stored oriented
             closing edge."""
-            ks = ray.get(keys_ref)
+            ks, eb1, eb2 = ray.get(keys_ref)
             dks, dds = ray.get(deg_ref)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -958,8 +992,7 @@ def neardup_triangles(
             with np.errstate(over="ignore"):
                 wk = b1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
                     ^ b2.astype(np.uint64)
-            pos = np.minimum(np.searchsorted(ks, wk), max(len(ks) - 1, 0))
-            closed = (ks[pos] == wk) if len(ks) else np.zeros(len(wk), bool)
+            closed = _pair_member(ks, eb1, eb2, wk, b1, b2)
             corners = np.concatenate([src[ia][closed], b1[closed], b2[closed]])
             u, c = np.unique(corners, return_counts=True)
             return pa.table({"node": pa.array(u, type=pa.int64()),
@@ -981,30 +1014,60 @@ def neardup_triangles(
             new = np.concatenate([[True], src[1:] != src[:-1]]) if len(src) else np.zeros(0, bool)
             ia, ib = _run_pair_indices(new)
             b1, b2 = dst[ia], dst[ib]
-            with np.errstate(over="ignore"):
-                wk = b1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
-                    ^ b2.astype(np.uint64)
             return pa.table({
                 "a": pa.array(src[ia], type=pa.int64()),
                 "b1": pa.array(b1, type=pa.int64()),
                 "b2": pa.array(b2, type=pa.int64()),
-                "wkey": pa.array(wk.view(np.int64)),
             })
-
-        def ekeys(t: pa.Table) -> pa.Table:
-            return pa.table({"wkey": pa.array(edge_keys(t).view(np.int64))})
 
         wedge_ds = hash_partitioned_groups(
             oriented, ["src"], wedges, num_partitions=num_partitions
         )
-        closed = partitioned_exists_join(
-            wedge_ds,
-            oriented.map_batches(ekeys, batch_format="pyarrow",
-                                 zero_copy_batch=True, batch_size=None),
-            "wkey", "wkey",
-            [("a", pa.int64()), ("b1", pa.int64()), ("b2", pa.int64())],
-            num_partitions,
-        )
+
+        # Exact closure: the closing edge (b1 -> b2) is stored oriented
+        # with src == b1 (out-neighbors were ordered by the same
+        # (deg, id) rank that oriented the edges), so partitioning both
+        # sides by b1 co-locates every wedge with its candidate closing
+        # edge; the verify is a real two-column merge — no hash key in
+        # the correctness path at all.
+        def wedge_side(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": t["a"], "b1": t["b1"], "b2": t["b2"],
+                "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def edge_side(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pa.nulls(t.num_rows, pa.int64()),
+                "b1": t["src"].cast(pa.int64()),
+                "b2": t["dst"].cast(pa.int64()),
+                "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        u = wedge_ds.map_batches(
+            wedge_side, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).union(oriented.map_batches(
+            edge_side, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ))
+
+        def verify(tbl: pa.Table) -> pa.Table:
+            df = tbl.to_pandas()
+            w = df[df["_side"] == 1]
+            e = df[df["_side"] == 0][["b1", "b2"]].drop_duplicates()
+            if not len(w) or not len(e):
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b1": pa.array([], pa.int64()),
+                                 "b2": pa.array([], pa.int64())})
+            m = w.merge(e, on=["b1", "b2"], how="inner")
+            return pa.table({
+                "a": pa.array(m["a"].to_numpy().astype(np.int64)),
+                "b1": pa.array(m["b1"].to_numpy().astype(np.int64)),
+                "b2": pa.array(m["b2"].to_numpy().astype(np.int64)),
+            })
+
+        closed = hash_partitioned_groups(u, ["b1"], verify, num_partitions)
 
         def corners(t: pa.Table) -> pa.Table:
             allc = np.concatenate([

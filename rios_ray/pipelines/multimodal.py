@@ -140,8 +140,9 @@ def frame_dedup(sf_dir: str, key: str = "fnv") -> ray.data.Dataset:
       and exactly matching DuckDB's ``md5()`` — the oracle-parity
       option the driver query uses.
 
-    Either way the key column is named ``frame_md5`` (hex string) so
-    both variants share one output schema.
+    The key column is named ``frame_key`` (16- or 32-hex string —
+    the kernel decides the width) so both variants share one schema;
+    value parity with DuckDB ``md5()`` holds only for ``key="md5"``.
     """
     import hashlib
 
@@ -153,7 +154,7 @@ def frame_dedup(sf_dir: str, key: str = "fnv") -> ray.data.Dataset:
         frames = b["frame"].combine_chunks() if isinstance(b["frame"], pa.ChunkedArray) else b["frame"]
         md = [hashlib.md5(f.as_py()).hexdigest() for f in frames]
         return pa.table({
-            "frame_md5": pa.array(md, type=pa.string()),
+            "frame_key": pa.array(md, type=pa.string()),
             "url": b["url"],
             "frame_idx": b["frame_idx"],
         })
@@ -164,7 +165,7 @@ def frame_dedup(sf_dir: str, key: str = "fnv") -> ray.data.Dataset:
         h = fnv1a64_arrow(b["frame"])
         keys = np.char.mod("%016x", h)
         return pa.table({
-            "frame_md5": pa.array(keys, type=pa.string()),
+            "frame_key": pa.array(keys, type=pa.string()),
             "url": b["url"],
             "frame_idx": b["frame_idx"],
         })
@@ -176,23 +177,23 @@ def frame_dedup(sf_dir: str, key: str = "fnv") -> ray.data.Dataset:
 
     def summarize(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by([
-            ("frame_md5", "ascending"), ("url", "ascending"),
+            ("frame_key", "ascending"), ("url", "ascending"),
             ("frame_idx", "ascending"),
         ])
-        md = tbl["frame_md5"].combine_chunks()
+        md = tbl["frame_key"].combine_chunks()
         codes = md.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         new = np.concatenate([[True], codes[1:] != codes[:-1]]) if len(codes) else np.zeros(0, bool)
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, len(codes)))
         head = tbl.take(pa.array(starts))
         return pa.table({
-            "frame_md5": head["frame_md5"],
+            "frame_key": head["frame_key"],
             "keep_url": head["url"],
             "keep_idx": head["frame_idx"],
             "n_copies": pa.array(counts, type=pa.int64()),
         })
 
-    return hash_partitioned_groups(ds, ["frame_md5"], summarize)
+    return hash_partitioned_groups(ds, ["frame_key"], summarize)
 
 
 def ensure_pixels_sidecar(sf_dir: str, out_h: int = 8, out_w: int = 8) -> str:

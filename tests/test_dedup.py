@@ -516,3 +516,32 @@ def test_neardup_triangles_vs_duckdb(ray_session, con):
                              ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got2["doc_id"].tolist() == want["doc_id"].tolist()
     assert got2["n_triangles"].tolist() == want["n_triangles"].tolist()
+
+
+def test_pair_member_collision_run_scan():
+    """_pair_member must survive forged 64-bit key collisions: only the
+    real (b1, b2) pair is a member, and equal-key runs are scanned past
+    the first slot (ADVICE r4)."""
+    import numpy as np
+
+    from rios_ray.pipelines.dedup import _pair_member
+
+    # three edges sharing ONE forged wkey + a normal edge
+    wk_e = np.array([5, 5, 5, 9], dtype=np.uint64)
+    b1_e = np.array([1, 1, 2, 7], dtype=np.int64)
+    b2_e = np.array([2, 3, 4, 8], dtype=np.int64)
+    order = np.lexsort((b2_e, b1_e, wk_e))
+    ks, eb1, eb2 = wk_e[order], b1_e[order], b2_e[order]
+
+    # queries: present (deep in the run), present (first), absent pair
+    # with colliding key, absent key entirely, present (normal)
+    q_wk = np.array([5, 5, 5, 6, 9], dtype=np.uint64)
+    q_b1 = np.array([2, 1, 9, 1, 7], dtype=np.int64)
+    q_b2 = np.array([4, 2, 9, 2, 8], dtype=np.int64)
+    got = _pair_member(ks, eb1, eb2, q_wk, q_b1, q_b2)
+    assert got.tolist() == [True, True, False, False, True]
+
+    # empty edge set
+    z = np.zeros(0, np.uint64)
+    zi = np.zeros(0, np.int64)
+    assert _pair_member(z, zi, zi, q_wk, q_b1, q_b2).tolist() == [False] * 5

@@ -491,3 +491,34 @@ def test_value_mean_per_type_bit_exact_vs_fsum(ray_session, con):
                           want["sum_value"].to_numpy())
     assert np.array_equal(got["mean_value"].to_numpy(),
                           want["mean_value"].to_numpy())
+
+
+def test_exact_float_sum_rejects_null_keys(ray_session):
+    """pd.factorize encodes null keys as -1; the partial must refuse them
+    rather than fold their buckets into an unrelated group (ADVICE r4)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from rios_ray.functions.agg import grouped_exact_float_sum
+
+    tbl = pa.table({
+        "k": pa.array(["a", None, "b", "a"]),
+        "v": pa.array([1.5, 2.5, 3.5, 4.5], type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="null"):
+        grouped_exact_float_sum(ds, ["k"], "v").materialize()
+
+    # and the non-null path still agrees with math.fsum
+    import math
+    tbl2 = pa.table({
+        "k": pa.array(["a", "b", "a"]),
+        "v": pa.array([0.1, 0.2, 0.3], type=pa.float64()),
+    })
+    out = grouped_exact_float_sum(
+        ray.data.from_arrow(tbl2), ["k"], "v").to_pandas()
+    got = dict(zip(out["k"], out["sum_value"]))
+    assert got["a"] == math.fsum([0.1, 0.3])
+    assert got["b"] == math.fsum([0.2])

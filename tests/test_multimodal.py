@@ -134,17 +134,17 @@ def test_frame_dedup_vs_duckdb(ray_session):
         f AS (SELECT url, frame_idx,
                      md5(substring(decode(html),
                                    CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
-                                   {FRAME_BYTES})) AS frame_md5
+                                   {FRAME_BYTES})) AS frame_key
                 FROM idx),
-        d AS (SELECT frame_md5, url, frame_idx,
-                     row_number() OVER (PARTITION BY frame_md5 ORDER BY url, frame_idx) AS rn,
-                     count(*) OVER (PARTITION BY frame_md5) AS n_copies
+        d AS (SELECT frame_key, url, frame_idx,
+                     row_number() OVER (PARTITION BY frame_key ORDER BY url, frame_idx) AS rn,
+                     count(*) OVER (PARTITION BY frame_key) AS n_copies
                 FROM f)
-        SELECT frame_md5, url AS keep_url, frame_idx AS keep_idx, n_copies
+        SELECT frame_key, url AS keep_url, frame_idx AS keep_idx, n_copies
           FROM d WHERE rn = 1""").df()
     assert len(got) == len(want) > 0
-    g = sorted(map(tuple, got[["frame_md5", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
-    w = sorted(map(tuple, want[["frame_md5", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
+    g = sorted(map(tuple, got[["frame_key", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["frame_key", "keep_url", "keep_idx", "n_copies"]].itertuples(index=False)))
     assert g == w
     # total copies reconstruct the sampled frame count
     assert got["n_copies"].sum() == duckdb.sql(f"""
@@ -165,7 +165,7 @@ def test_frame_dedup_fnv_matches_md5_groups(ray_session):
     fnv = frame_dedup(SF, key="fnv").to_pandas()
     md5 = frame_dedup(SF, key="md5").to_pandas()
     assert len(fnv) == len(md5) > 0
-    assert fnv["frame_md5"].str.fullmatch("[0-9a-f]{16}").all()
+    assert fnv["frame_key"].str.fullmatch("[0-9a-f]{16}").all()
     cols = ["keep_url", "keep_idx", "n_copies"]
     g = sorted(map(tuple, fnv[cols].itertuples(index=False)))
     w = sorted(map(tuple, md5[cols].itertuples(index=False)))
