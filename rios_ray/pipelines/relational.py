@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.agg import hash_grouped_aggregate
+from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
 
 BATCH = 65536
 
@@ -396,7 +396,7 @@ def q18_big_orders(
     """
     import pyarrow.compute as pc
 
-    from ..functions.agg import hash_grouped_aggregate
+    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1154,3 +1154,765 @@ def q21_returns_suppliers(
         [("s_suppkey", pa.int64()), ("s_name", pa.string())],
         _join_partitions(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the remaining TPC-H-style queries (q2/q8/q9/q11/q15/q16/q19/q20),
+# completing the 22-query suite.  The synthetic schema has no partsupp
+# table (TESTDATA.md), so where the canonical query reads partsupp the
+# adaptation is documented on the function: lineitem is the observed
+# part-supplier relation and p_retailprice the unit-cost basis.  All
+# monetary math stays in integer cents (module docstring); any ratio a
+# query must emit is ONE shared IEEE division of two exact int64 sums.
+# ---------------------------------------------------------------------------
+
+
+def _sorted_lookup(sorted_keys: np.ndarray, probe: np.ndarray):
+    """(positions, found) for ``probe`` against a sorted key array —
+    the module's standard broadcast-dimension lookup (clamped
+    searchsorted + equality check, no per-row Python)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), np.int64), np.zeros(len(probe), bool)
+    pos = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == probe
+
+
+def _nation_names(sf_dir: str) -> list[str]:
+    """Dense nationkey -> name list (nation is tiny at any scale)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nkey = nation["n_nationkey"].to_numpy()
+    names = [""] * (int(nkey.max()) + 1)
+    for k, nm in zip(nkey, nation["n_name"].to_pylist()):
+        names[int(k)] = nm
+    return names
+
+
+def _region_nation_keys(sf_dir: str, region: str) -> set[int]:
+    """nationkeys belonging to one region (driver-side, tiny tables)."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = {int(k) for k, nm in zip(reg["r_regionkey"].to_pylist(),
+                                  reg["r_name"].to_pylist()) if nm == region}
+    return {int(k) for k, r in zip(nation["n_nationkey"].to_pylist(),
+                                   nation["n_regionkey"].to_pylist())
+            if int(r) in rk}
+
+
+def _supplier_nations(sf_dir: str):
+    """(sorted s_suppkey, aligned s_nationkey int32) broadcast halves."""
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sk = supp["s_suppkey"].to_numpy()
+    o = np.argsort(sk)
+    return sk[o], supp["s_nationkey"].to_numpy()[o].astype(np.int32)
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    ptype: str = "PROMO",
+    nation: str = "NATION_5",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> ray.data.Dataset:
+    """Q8-style national market share: over orders placed by customers
+    in ``region`` during the window, restricted to lineitems of parts
+    of ``ptype``: per order year, the revenue share supplied by
+    ``nation``.
+
+    ``num_cents``/``den_cents`` are exact integer-cent sums;
+    ``mkt_share`` is the one shared IEEE division num/den.  Plan: part
+    keys, customer keys (region-filtered) and supplier nations are
+    broadcast dimensions; the single big exchange is lineitem x orders
+    on orderkey (the only fact-fact edge).  Mirrors the reference's
+    many-small-pipelines test style (rios/riostests), not its code.
+    """
+    import pyarrow.compute as pc
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+    names = _nation_names(sf_dir)
+    target_nation = names.index(nation)
+    region_nats = _region_nation_keys(sf_dir, region)
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pkeys = np.sort(
+        part.filter(pc.equal(part["p_type"], ptype))["p_partkey"].to_numpy()
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    in_reg = np.isin(cust["c_nationkey"].to_numpy(), list(region_nats))
+    ckeys = np.sort(cust["c_custkey"].to_numpy()[in_reg])
+    sk_s, sn_s = _supplier_nations(sf_dir)
+    dims_ref = ray.put((pkeys, ckeys, sk_s, sn_s))
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        _, ck_s, _, _ = ray.get(dims_ref)
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        _, found = _sorted_lookup(ck_s, b["o_custkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(keep & found))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"]).cast(pa.int64()),
+        })
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        pk_s, _, sk_sorted, sn_sorted = ray.get(dims_ref)
+        _, is_part = _sorted_lookup(
+            pk_s, b["l_partkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(is_part))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = _cents(price * (1.0 - disc))
+        sp, sfound = _sorted_lookup(
+            sk_sorted, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        is_nat = sfound & (sn_sorted[sp] == target_nation)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_cents": pa.array(rev),
+            "nat_cents": pa.array(np.where(is_nat, rev, 0)),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+
+    from ..functions.join import partitioned_lookup_join
+
+    joined = partitioned_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        [("rev_cents", pa.int64()), ("nat_cents", pa.int64())],
+        [("o_year", pa.int64(), "o_year")],
+        _join_partitions(),
+    )
+    sums = hash_grouped_aggregate(
+        joined, ["o_year"],
+        [("nat_cents", "sum", "num_cents"), ("rev_cents", "sum", "den_cents")],
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        num = b["num_cents"].to_numpy(zero_copy_only=False)
+        den = b["den_cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": b["o_year"],
+            "num_cents": b["num_cents"],
+            "den_cents": b["den_cents"],
+            "mkt_share": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+        })
+
+    return sums.map_batches(share, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+
+def q9_nation_profit(sf_dir: str, name_sub: str = "red") -> ray.data.Dataset:
+    """Q9-style profit by (supplier nation, order year) over parts whose
+    name contains ``name_sub``.
+
+    Adaptation (no partsupp table): unit cost is the part's
+    ``p_retailprice``, so ``profit_cents = rev_cents -
+    retail_cents * qty`` — every term an exact int64.  Plan: the
+    name-filtered part map (partkey -> retail cents) and supplier
+    nations broadcast; lineitem x orders is the one exchange, carrying
+    the order year.
+    """
+    import pyarrow.compute as pc
+
+    names = _nation_names(sf_dir)
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    hit = pc.match_substring(part["p_name"], name_sub)
+    part = part.filter(hit)
+    pk = part["p_partkey"].to_numpy()
+    o = np.argsort(pk)
+    pk_s = pk[o]
+    retail_cents = _cents(part["p_retailprice"].to_numpy())[o]
+    sk_s, sn_s = _supplier_nations(sf_dir)
+    dims_ref = ray.put((pk_s, retail_cents, sk_s, sn_s, names))
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"]).cast(pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        pk_sorted, rc, sk_sorted, sn_sorted, _ = ray.get(dims_ref)
+        pp, pfound = _sorted_lookup(
+            pk_sorted, b["l_partkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(pfound))
+        pp = pp[pfound]
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        profit = _cents(price * (1.0 - disc)) - rc[pp] * qty
+        sp, sfound = _sorted_lookup(
+            sk_sorted, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        if not sfound.all():
+            raise ValueError("q9: lineitem references unknown supplier")
+        nat = sn_sorted[sp].astype(np.int32)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "nat": pa.array(nat),
+            "profit_cents": pa.array(profit),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+
+    from ..functions.join import partitioned_lookup_join
+
+    joined = partitioned_lookup_join(
+        li, orders, "l_orderkey", "o_orderkey",
+        [("nat", pa.int32()), ("profit_cents", pa.int64())],
+        [("o_year", pa.int64(), "o_year")],
+        _join_partitions(),
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        *_, names_ = ray.get(dims_ref)
+        nat = b["nat"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.DictionaryArray.from_arrays(
+                pa.array(nat), pa.array(names_, type=pa.string())
+            ).cast(pa.string()),
+            "o_year": b["o_year"],
+            "profit_cents": b["profit_cents"],
+        })
+
+    tagged = joined.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=BATCH)
+    return hash_grouped_aggregate(
+        tagged, ["n_name", "o_year"], [("profit_cents", "sum", "profit_cents")]
+    )
+
+
+def q2_min_cost_supplier(
+    sf_dir: str, region: str = "EUROPE", size: int = 15, ptype: str = "LARGE"
+) -> ray.data.Dataset:
+    """Q2-style min-cost supplier: for each part with size up to
+    ``size`` of ``ptype``, the region's supplier(s) achieving the
+    part's minimum cost.
+
+    Adaptation (no partsupp table): the observed part-supplier relation
+    is lineitem, and a (part, supplier) pair's cost is its MINIMUM
+    single-line extended price in integer cents — so the correlated
+    min-subquery shape (per-part min across region suppliers, equality
+    join back) is preserved with exact-int comparisons throughout.
+    Plan: filtered part map and region-supplier map broadcast; one
+    grouped min by (part, supplier); the per-part min + tie emission is
+    a single hash-partitioned group pass (groups co-located, vectorized
+    boundary scan — no second exchange).
+    """
+    import pyarrow.compute as pc
+
+    names = _nation_names(sf_dir)
+    region_nats = _region_nation_keys(sf_dir, region)
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_size", "p_type"],
+    )
+    keep = pc.and_(pc.less_equal(part["p_size"], size), pc.equal(part["p_type"], ptype))
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy()
+    po = np.argsort(pk)
+    pk_s, pname_s = pk[po], np.asarray(part["p_name"].to_pylist(), dtype=object)[po]
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    in_reg = np.isin(supp["s_nationkey"].to_numpy(), list(region_nats))
+    supp = supp.filter(pa.array(in_reg))
+    sk = supp["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    sk_s = sk[so]
+    sname_s = np.asarray(supp["s_name"].to_pylist(), dtype=object)[so]
+    snat_s = supp["s_nationkey"].to_numpy()[so].astype(np.int32)
+    dims_ref = ray.put((pk_s, pname_s, sk_s, sname_s, snat_s, names))
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        pk_sorted, _, sk_sorted, _, _, _ = ray.get(dims_ref)
+        _, pfound = _sorted_lookup(
+            pk_sorted, b["l_partkey"].to_numpy(zero_copy_only=False))
+        _, sfound = _sorted_lookup(
+            sk_sorted, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(pfound & sfound))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": b["l_partkey"],
+            "s_suppkey": b["l_suppkey"],
+            "cost_cents": pa.array(_cents(price)),
+        })
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+
+    per_pair = hash_grouped_aggregate(
+        li, ["p_partkey", "s_suppkey"], [("cost_cents", "min", "cost_cents")]
+    )
+
+    def part_min(tbl: pa.Table) -> pa.Table:
+        """All groups of one hash partition: per-part min + keep ties."""
+        if tbl.num_rows == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "min_cost_cents": pa.array([], pa.int64())})
+        pkv = tbl["p_partkey"].to_numpy(zero_copy_only=False)
+        cv = tbl["cost_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cv, pkv))
+        pkv, cv = pkv[order], cv[order]
+        sv = tbl["s_suppkey"].to_numpy(zero_copy_only=False)[order]
+        new = np.concatenate([[True], pkv[1:] != pkv[:-1]])
+        # per-part min = first cost in each sorted run, propagated
+        gmin = cv[np.maximum.accumulate(np.where(new, np.arange(len(cv)), 0))]
+        keep = cv == gmin
+        return pa.table({
+            "p_partkey": pa.array(pkv[keep]),
+            "s_suppkey": pa.array(sv[keep]),
+            "min_cost_cents": pa.array(cv[keep]),
+        })
+
+    winners = hash_partitioned_groups(per_pair, ["p_partkey"], part_min)
+
+    def attach(b: pa.Table) -> pa.Table:
+        pk_sorted, pname, sk_sorted, sname, snat, names_ = ray.get(dims_ref)
+        pp, _ = _sorted_lookup(pk_sorted, b["p_partkey"].to_numpy(zero_copy_only=False))
+        sp, _ = _sorted_lookup(sk_sorted, b["s_suppkey"].to_numpy(zero_copy_only=False))
+        nat = snat[sp]
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "p_name": pa.array(pname[pp], type=pa.string()),
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(sname[sp], type=pa.string()),
+            "n_name": pa.DictionaryArray.from_arrays(
+                pa.array(nat), pa.array(names_, type=pa.string())
+            ).cast(pa.string()),
+            "min_cost_cents": b["min_cost_cents"],
+        })
+
+    return winners.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+
+
+def q11_important_parts(
+    sf_dir: str, nation: str = "NATION_3",
+    fraction_num: int = 1, fraction_den: int = 1000,
+) -> ray.data.Dataset:
+    """Q11-style important stock: parts whose revenue from ``nation``'s
+    suppliers exceeds ``num/den`` of the total across all such parts.
+
+    Adaptation (no partsupp): "value" is discounted lineitem revenue
+    from the nation's suppliers, in integer cents.  The global-scalar
+    HAVING threshold is the two-pass broadcast shape: grouped per-part
+    sums once (materialized — one row per part), per-block partial
+    totals pulled to the driver (bounded by block count), threshold
+    pushed back as one exact int64 compare.  value > total*num/den is
+    evaluated as value >= floor(total*num/den) + 1 — pure integers, no
+    ratio float anywhere.
+    """
+    names = _nation_names(sf_dir)
+    nat_key = names.index(nation)
+    sk_s, sn_s = _supplier_nations(sf_dir)
+    nat_supp = ray.put(np.sort(sk_s[sn_s == nat_key]))
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        wanted = ray.get(nat_supp)
+        _, found = _sorted_lookup(
+            wanted, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(found))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+        })
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+    per_part = hash_grouped_aggregate(
+        li, ["l_partkey"], [("rev_cents", "sum", "value_cents")]
+    ).materialize()
+
+    def partial_total(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(b["value_cents"].to_numpy(zero_copy_only=False).sum())],
+            type=pa.int64())})
+
+    totals = per_part.map_batches(
+        partial_total, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()  # one row per block — bounded
+    total = int(totals["t"].sum())
+    thr = (total * fraction_num) // fraction_den + 1  # exact int threshold
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v >= thr))
+
+    return per_part.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+
+
+def q15_top_supplier(
+    sf_dir: str, date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> ray.data.Dataset:
+    """Q15-style top supplier: supplier(s) with the maximum discounted
+    revenue over one quarter (ties all returned, like the canonical
+    view formulation).  Per-supplier grouped sum once (materialized,
+    one row per supplier); global max via per-block partials pulled to
+    the driver (bounded by block count); the winner filter is one
+    broadcast int compare; names attach from the broadcast supplier
+    table."""
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ship >= lo) & (ship < hi)
+        b = b.filter(pa.array(keep))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "rev_cents": pa.array(_cents(price * (1.0 - disc))),
+        })
+
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+    per_supp = hash_grouped_aggregate(
+        li, ["s_suppkey"], [("rev_cents", "sum", "total_revenue_cents")]
+    ).materialize()
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        v = b["total_revenue_cents"].to_numpy(zero_copy_only=False)
+        m = int(v.max()) if len(v) else np.iinfo(np.int64).min
+        return pa.table({"m": pa.array([m], type=pa.int64())})
+
+    maxes = per_supp.map_batches(
+        partial_max, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()  # one row per block — bounded
+    best = int(maxes["m"].max())
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    sk = supp["s_suppkey"].to_numpy()
+    so = np.argsort(sk)
+    dims_ref = ray.put((sk[so], np.asarray(supp["s_name"].to_pylist(),
+                                           dtype=object)[so]))
+
+    def winners(b: pa.Table) -> pa.Table:
+        sk_s, sname_s = ray.get(dims_ref)
+        v = b["total_revenue_cents"].to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(v == best))
+        sp, _ = _sorted_lookup(sk_s, b["s_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(sname_s[sp], type=pa.string()),
+            "total_revenue_cents": b["total_revenue_cents"],
+        })
+
+    return per_supp.map_batches(winners, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+
+
+def q16_supplier_counts(
+    sf_dir: str,
+    exclude_brand: str = "Brand#5",
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 9, 19, 29, 39, 49),
+) -> ray.data.Dataset:
+    """Q16-style: distinct-supplier counts per (brand, type, size) for
+    parts NOT of ``exclude_brand``/``exclude_type`` with size in
+    ``sizes``, excluding flagged suppliers.
+
+    Adaptations (no partsupp / s_comment): the part-supplier relation
+    is observed from lineitem, and the "complaints" supplier exclusion
+    set is suppliers with negative account balance.  Plan: filtered
+    part-attribute map + exclusion keys broadcast; per-batch (part,
+    supplier) pair dedup cuts the exchange; ONE hash exchange on the
+    three group keys co-locates each group, so the distinct-supplier
+    count per group is exact and vectorized within its partition.
+    """
+    import pyarrow.compute as pc
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.invert(pc.equal(part["p_brand"], exclude_brand)),
+            pc.invert(pc.equal(part["p_type"], exclude_type)),
+        ),
+        pc.is_in(part["p_size"], value_set=pa.array(list(sizes), pa.int32())),
+    )
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy()
+    po = np.argsort(pk)
+    pk_s = pk[po]
+    brand_s = np.asarray(part["p_brand"].to_pylist(), dtype=object)[po]
+    type_s = np.asarray(part["p_type"].to_pylist(), dtype=object)[po]
+    size_s = part["p_size"].to_numpy()[po].astype(np.int32)
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = np.sort(
+        supp["s_suppkey"].to_numpy()[supp["s_acctbal"].to_numpy() < 0.0]
+    )
+    dims_ref = ray.put((pk_s, brand_s, type_s, size_s, bad))
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        pk_sorted, brands, types, sizes_, bad_ = ray.get(dims_ref)
+        pkv = b["l_partkey"].to_numpy(zero_copy_only=False)
+        skv = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pp, pfound = _sorted_lookup(pk_sorted, pkv)
+        _, is_bad = _sorted_lookup(bad_, skv)
+        m = pfound & ~is_bad
+        pp, skv = pp[m], skv[m]
+        # batch-local pair dedup before the exchange (combiner)
+        pairs = np.unique(np.stack([pp, skv], axis=1), axis=0)
+        pp, skv = pairs[:, 0], pairs[:, 1]
+        return pa.table({
+            "p_brand": pa.array(brands[pp], type=pa.string()),
+            "p_type": pa.array(types[pp], type=pa.string()),
+            "p_size": pa.array(sizes_[pp], type=pa.int32()),
+            "s_suppkey": pa.array(skv),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        prep_li, batch_format="pyarrow", zero_copy_batch=True, batch_size=BATCH
+    )
+
+    def count_distinct(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().drop_duplicates()
+        g = (df.groupby(["p_brand", "p_type", "p_size"], sort=False)["s_suppkey"]
+               .size().reset_index(name="supplier_cnt"))
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"], type=pa.string()),
+            "p_type": pa.array(g["p_type"], type=pa.string()),
+            "p_size": pa.array(g["p_size"].to_numpy().astype(np.int32)),
+            "supplier_cnt": pa.array(g["supplier_cnt"].to_numpy().astype(np.int64)),
+        })
+
+    return hash_partitioned_groups(
+        li, ["p_brand", "p_type", "p_size"], count_distinct
+    )
+
+
+def q19_disjunctive_revenue(
+    sf_dir: str,
+    bundles: tuple = (
+        ("Brand#12", 1, 5, 1, 11),
+        ("Brand#2", 1, 10, 10, 20),
+        ("Brand#3", 1, 15, 20, 30),
+    ),
+) -> ray.data.Dataset:
+    """Q19-style disjunctive-predicate revenue: total discounted
+    revenue over lineitems matching ANY (brand, size range, quantity
+    range) bundle.  (The canonical shipmode/shipinstruct atoms don't
+    exist in this schema and are dropped.)
+
+    Plan: the part side of every bundle collapses to ONE broadcast
+    bitmask (partkey -> uint8 of bundles its brand+size satisfies), so
+    the scan evaluates all disjuncts in 3 vector ops per bundle and the
+    global sum is the q6 zero-exchange scalar shape.
+    """
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)
+    size = part["p_size"].to_numpy()
+    mask = np.zeros(part.num_rows, dtype=np.uint8)
+    for i, (b_, slo, shi, _, _) in enumerate(bundles):
+        mask |= np.uint8(1 << i) * ((brand == b_) & (size >= slo) & (size <= shi))
+    hitp = mask != 0
+    pk = part["p_partkey"].to_numpy()[hitp]
+    po = np.argsort(pk)
+    dims_ref = ray.put((pk[po], mask[hitp][po]))
+    qty_ranges = [(qlo, qhi) for (_, _, _, qlo, qhi) in bundles]
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk_sorted, mask_s = ray.get(dims_ref)
+        pkv = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pp, pfound = _sorted_lookup(pk_sorted, pkv)
+        m = np.where(pfound, mask_s[pp], 0)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(qty), dtype=bool)
+        for i, (qlo, qhi) in enumerate(qty_ranges):
+            keep |= ((m & (1 << i)) != 0) & (qty >= qlo) & (qty <= qhi)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(_cents(price * (1.0 - disc)).sum())], type=pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+
+    def merge(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(b["revenue_cents"].to_numpy(zero_copy_only=False).sum())],
+                type=pa.int64()),
+            "n_lines": pa.array(
+                [int(b["n_lines"].to_numpy(zero_copy_only=False).sum())],
+                type=pa.int64()),
+        })
+
+    return ds.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+def q20_excess_suppliers(
+    sf_dir: str,
+    nation: str = "NATION_7",
+    name_sub: str = "red",
+    year_from: str = "1997-01-01",
+    year_to: str = "1998-01-01",
+) -> pa.Table:
+    """Q20-style excess suppliers: suppliers in ``nation`` who, for some
+    part whose name contains ``name_sub``, shipped MORE THAN HALF of
+    that part's total quantity in the year window.
+
+    Adaptation (no partsupp availqty): "has excess stock" becomes
+    "dominated the part's observed shipments" — 2 * supplier_qty >
+    part_total_qty, whole-unit integers, no ratio.  Plan: filtered part
+    keys + nation supplier keys broadcast; grouped (part, supplier)
+    quantity sums; per-part total + dominance test in one
+    hash-partitioned group pass; winners dedup to distinct suppliers
+    in the same pass (supplier set is the small side by construction).
+    """
+    import pyarrow.compute as pc
+
+    lo = np.datetime64(year_from, "us").astype(np.int64)
+    hi = np.datetime64(year_to, "us").astype(np.int64)
+    names = _nation_names(sf_dir)
+    nat_key = names.index(nation)
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pkeys = np.sort(
+        part.filter(pc.match_substring(part["p_name"], name_sub))["p_partkey"]
+        .to_numpy()
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    in_nat = supp["s_nationkey"].to_numpy().astype(np.int32) == nat_key
+    sk = supp["s_suppkey"].to_numpy()[in_nat]
+    so = np.argsort(sk)
+    sk_s = sk[so]
+    sname_s = np.asarray(
+        supp.filter(pa.array(in_nat))["s_name"].to_pylist(), dtype=object)[so]
+    dims_ref = ray.put((pkeys, sk_s, sname_s))
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        pk_sorted, _, _ = ray.get(dims_ref)
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        _, pfound = _sorted_lookup(
+            pk_sorted, b["l_partkey"].to_numpy(zero_copy_only=False))
+        b = b.filter(pa.array(pfound & (ship >= lo) & (ship < hi)))
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_suppkey": b["l_suppkey"],
+            "qty": pa.array(
+                b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=BATCH)
+    per_pair = hash_grouped_aggregate(
+        li, ["l_partkey", "l_suppkey"], [("qty", "sum", "sq")]
+    )
+
+    def dominators(tbl: pa.Table) -> pa.Table:
+        """Per part: total qty; emit suppliers with 2*sq > total (NOTE:
+        all-supplier totals, computed BEFORE the nation filter, exactly
+        like the canonical subquery scopes availqty per part)."""
+        _, sk_sorted, _ = ray.get(dims_ref)
+        if tbl.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        pkv = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        sq = tbl["sq"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pkv, kind="stable")
+        pkv, sq = pkv[order], sq[order]
+        skv = tbl["l_suppkey"].to_numpy(zero_copy_only=False)[order]
+        new = np.concatenate([[True], pkv[1:] != pkv[:-1]])
+        starts = np.flatnonzero(new)
+        totals = np.add.reduceat(sq, starts)
+        tot = np.repeat(totals, np.diff(np.append(starts, len(sq))))
+        win = 2 * sq > tot
+        _, in_nation = _sorted_lookup(sk_sorted, skv)
+        return pa.table({
+            "s_suppkey": pa.array(np.unique(skv[win & in_nation])),
+        })
+
+    hits = hash_partitioned_groups(per_pair, ["l_partkey"], dominators)
+    # distinct suppliers across partitions + name attach: the hit set is
+    # bounded by the nation's supplier count — one tiny exchange
+    distinct = hash_grouped_aggregate(hits, ["s_suppkey"], [(None, "count", "_n")])
+
+    def attach(b: pa.Table) -> pa.Table:
+        _, sk_sorted, sname = ray.get(dims_ref)
+        sp, _ = _sorted_lookup(sk_sorted, b["s_suppkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(sname[sp], type=pa.string()),
+        })
+
+    out = distinct.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    # The result is bounded by the nation's supplier count, so collect
+    # it into ONE typed table (q13 precedent): a legitimately-empty
+    # result must still carry (s_suppkey, s_name), and an all-empty
+    # map_groups dataset loses its schema in to_pandas otherwise.
+    anchor = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                       "s_name": pa.array([], pa.string())})
+    parts = [t.select(["s_suppkey", "s_name"])
+             for t in ray.get(out.to_arrow_refs())
+             if t.num_rows and t.num_columns]
+    return pa.concat_tables([anchor, *parts])

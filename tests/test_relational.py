@@ -445,3 +445,88 @@ def test_q21_returns_suppliers(ray_session, con):
     got2 = R.q21_returns_suppliers(SF, broadcast_cap=0).to_pandas(
     ).sort_values("s_suppkey").reset_index(drop=True)
     assert got2["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+
+
+# --- round 5: the suite-completing eight, gated on the EXACT driver
+# --- oracle SQL (dtype-strict, order-insensitive — the same compare
+# --- tools/check_correctness.py and the graft driver run at sf0.01).
+NEW_R5 = [
+    "rel_q2_min_cost_supplier",
+    "rel_q8_market_share",
+    "rel_q9_nation_profit",
+    "rel_q11_important_parts",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_counts",
+    "rel_q19_disjunctive_revenue",
+    "rel_q20_excess_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", NEW_R5)
+def test_r5_suite_vs_driver_oracle(ray_session, con, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()[name](SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = con.execute(entrymod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want), name
+    if name == "rel_q20_excess_suppliers" and len(got) == 0:
+        return  # legitimately empty at sf0.001 (no NATION_7 supplier);
+        # the non-empty path is test_q20_dominators below
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert str(g[c].dtype) == str(w[c].dtype), (name, c)
+        assert g[c].tolist() == w[c].tolist(), (name, c)
+
+
+def test_q2_tie_emission(ray_session, con):
+    """q2 keeps ALL suppliers tied at the per-part min cost."""
+    got = R.q2_min_cost_supplier(SF).to_pandas()
+    per_part_min = got.groupby("p_partkey")["min_cost_cents"].nunique()
+    assert (per_part_min == 1).all()  # one min per part, ties share it
+
+
+def test_q11_threshold_is_exact(ray_session, con):
+    """the int threshold value >= floor(total*num/den)+1 equals the
+    rational value*den > total*num on the fixture."""
+    got = R.q11_important_parts(SF).to_pandas()
+    total = con.execute("""
+        SELECT sum(v) FROM (
+          SELECT sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5)
+                     AS BIGINT)) AS v
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3' GROUP BY l_partkey)""").fetchone()[0]
+    assert ((got["value_cents"].to_numpy().astype(object) * 1000)
+            > int(total)).all()
+
+
+def test_q20_dominators(ray_session, con):
+    """non-empty q20 path (NATION_8 has a dominating supplier at this
+    scale; the driver's sf0.01 gate exercises the NATION_7 default)."""
+    got = R.q20_excess_suppliers(SF, nation="NATION_8").to_pandas(
+    ).sort_values("s_suppkey").reset_index(drop=True)
+    want = con.execute("""
+        WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%'),
+        sq AS (SELECT l_partkey, l_suppkey,
+                      sum(CAST(l_quantity AS BIGINT)) AS sq
+                 FROM lineitem JOIN fp ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, sum(sq) AS tq FROM sq GROUP BY 1)
+        SELECT DISTINCT s.s_suppkey, s.s_name
+          FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+          JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_8' AND 2 * sq.sq > tot.tq
+         ORDER BY s_suppkey""").df()
+    assert len(got) == len(want) > 0
+    assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+    assert got["s_name"].tolist() == want["s_name"].tolist()
