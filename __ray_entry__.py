@@ -574,6 +574,12 @@ def _q_cell_gradient(sf_dir: str):
     return cell_gradient(sf_dir)
 
 
+def _q_cell_compact(sf_dir: str):
+    from rios_ray.pipelines.spatial_ops import compact_cells
+
+    return compact_cells(sf_dir)
+
+
 def _q_grid_dbscan(sf_dir: str):
     from rios_ray.pipelines.spatial_ops import grid_dbscan
 
@@ -1044,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rotated IN round 4 (see policy above) ---
         "rel_q7_volume_shipping": _q_rel_q7,
         "cell_gradient": _q_cell_gradient,
+        "cell_compact": _q_cell_compact,  # NEW round 5 (H3-compact analogue)
         "decontaminate": _q_decontaminate,
         "polygon_raster_cells": _q_polygon_raster_cells,
         # --- NEW round 4 (q13 join-free distribution, q17 correlated
@@ -2642,6 +2649,30 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN d w  ON w.cy = a.cy AND w.cx = (a.cx + {(2 << DEFAULT_GRID_RES) - 1}) % {2 << DEFAULT_GRID_RES}
               LEFT JOIN d s  ON s.cy = a.cy + 1 AND s.cx = a.cx
               LEFT JOIN d nn ON nn.cy = a.cy - 1 AND nn.cx = a.cx
+        """,
+        # H3-compact analogue (round 5): distinct occupied res-7 cells;
+        # any full 4-sibling group promotes to its parent, recursively
+        # to res 5.  parent(c at res r) = (c//nx//2)*(nx/2) + (c%nx)//2
+        # with nx = 2<<r — pure integer math on both sides.
+        "cell_compact": f"""
+            WITH c7 AS (
+                SELECT DISTINCT {_cell_sql()} AS cell FROM ({_pages_sql()})
+            ),
+            p7 AS (SELECT cell,
+                          (cell // {2 << 7} // 2) * {2 << 6}
+                          + (cell % {2 << 7}) // 2 AS parent FROM c7),
+            f6 AS (SELECT parent AS cell FROM p7 GROUP BY 1 HAVING count(*) = 4),
+            p6 AS (SELECT cell,
+                          (cell // {2 << 6} // 2) * {2 << 5}
+                          + (cell % {2 << 6}) // 2 AS parent FROM f6),
+            f5 AS (SELECT parent AS cell FROM p6 GROUP BY 1 HAVING count(*) = 4)
+            SELECT cell, CAST(7 AS BIGINT) AS res FROM p7
+             WHERE parent NOT IN (SELECT cell FROM f6)
+            UNION ALL
+            SELECT cell, CAST(6 AS BIGINT) AS res FROM p6
+             WHERE parent NOT IN (SELECT cell FROM f5)
+            UNION ALL
+            SELECT cell, CAST(5 AS BIGINT) AS res FROM f5
         """,
         # grid-DBSCAN: core cells (count >= minpts), 8-neighbor
         # adjacency (lon wraps, lat clips implicitly — only existing

@@ -540,3 +540,69 @@ def cell_gradient(sf_dir: str, res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
         })
 
     return hash_partitioned_groups(contrib, ["cell"], reduce_cells)
+
+
+def compact_cells(
+    sf_dir: str, res: int = DEFAULT_GRID_RES, res_min: int | None = None
+) -> ray.data.Dataset:
+    """H3-``compact`` analogue over the quad grid: replace any fully
+    occupied sibling group (all 4 children) of the distinct occupied
+    cells at ``res`` by its parent, recursively up to ``res_min`` —
+    the minimal mixed-resolution covering set ``(cell, res)`` of the
+    page distribution (the tiling dual of ``cell_rollup``; reference
+    analogue: overview-pyramid level selection).
+
+    Scale shape: one combiner-first distinct over the geocoded scan,
+    then ONE keyed exchange on each cell's ``res_min`` ancestor —
+    promotion decisions never cross an ancestor boundary, so every
+    partition compacts its subtrees locally with pure bit math
+    (``cells.grid_parent``), and output cardinality is bounded by the
+    occupied-cell count at any corpus size.
+    """
+    if res_min is None:
+        res_min = max(res - 2, 1)
+    if not 1 <= res_min < res:
+        raise ValueError("need 1 <= res_min < res")
+
+    ds = geocoded_pages(sf_dir, keep_text=False, grid_res=res,
+                        families=("grid",)).select_columns(["cell"])
+    distinct = hash_grouped_aggregate(ds, ["cell"], [(None, "count", "_n")])
+
+    def tag_ancestor(b: pa.Table) -> pa.Table:
+        a = b["cell"].to_numpy(zero_copy_only=False)
+        for r in range(res, res_min, -1):
+            a = C.grid_parent(a, r)
+        return pa.table({"cell": b["cell"], "_anc": pa.array(a)})
+
+    tagged = distinct.map_batches(
+        tag_ancestor, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def compact(tbl: pa.Table) -> pa.Table:
+        cur = np.unique(tbl["cell"].to_numpy(zero_copy_only=False))
+        out_cell, out_res = [], []
+        for level in range(res, res_min, -1):
+            if len(cur) == 0:
+                break
+            par = C.grid_parent(cur, level)
+            # row-major ids interleave across parent rows, so parent
+            # order != child order: group sibling runs by sorting
+            order = np.argsort(par, kind="stable")
+            par_s, cur_s = par[order], cur[order]
+            new = np.concatenate([[True], par_s[1:] != par_s[:-1]])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(par_s)))
+            full = np.repeat(counts == 4, counts)
+            keep = cur_s[~full]
+            out_cell.append(keep)
+            out_res.append(np.full(len(keep), level, dtype=np.int64))
+            cur = par_s[starts][counts == 4]
+        out_cell.append(cur)
+        out_res.append(np.full(len(cur), res_min, dtype=np.int64))
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_cell)),
+            "res": pa.array(np.concatenate(out_res)),
+        })
+
+    return hash_partitioned_groups(tagged, ["_anc"], compact)

@@ -462,3 +462,58 @@ def test_supercover_cells_vs_sampling_oracle():
         assert set(zip(rb[m].tolist(), cb[m].tolist())) == set(
             zip(one[1].tolist(), one[2].tolist())
         )
+
+
+def test_compact_cells_partition_property(ray_session):
+    """compacted set must be a disjoint exact cover of the occupied
+    res-7 cells: expanding every (cell, res) back to res-7 descendants
+    reproduces the occupied set with no overlap."""
+    from rios_ray.pipelines.pages import geocoded_pages
+    from rios_ray.pipelines.spatial_ops import compact_cells
+
+    res = 7
+    occupied = np.unique(
+        geocoded_pages(SF, keep_text=False, grid_res=res, families=("grid",))
+        .select_columns(["cell"]).to_pandas()["cell"].to_numpy()
+    )
+    got = compact_cells(SF, res=res, res_min=5).to_pandas()
+    assert got["res"].isin([5, 6, 7]).all()
+
+    def children(cell: int, r: int) -> np.ndarray:
+        # inverse of cells.grid_parent: the 4 child ids one res finer
+        nx, nxc = 2 << r, 2 << (r + 1)
+        cy, cx = cell // nx, cell % nx
+        out = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out.append((2 * cy + dy) * nxc + 2 * cx + dx)
+        return np.array(out, dtype=np.int64)
+
+    expanded = []
+    for cell, r in zip(got["cell"], got["res"]):
+        cur = np.array([cell], dtype=np.int64)
+        for rr in range(int(r), res):
+            cur = np.concatenate([children(c, rr) for c in cur])
+        expanded.append(cur)
+    exp = np.concatenate(expanded)
+    assert len(exp) == len(np.unique(exp))  # disjoint
+    assert np.array_equal(np.sort(exp), occupied)  # exact cover
+    # compaction must actually bite on the fixture
+    assert (got["res"] < res).any()
+
+
+def test_compact_cells_vs_duckdb(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["cell_compact"](SF).to_pandas()
+    sql = entrymod.oracle_sql()["cell_compact"].replace(
+        entrymod._pages_sql(), entrymod._pages_sql(SF)
+    )
+    want = duckdb.sql(sql).df()
+    g = sorted(map(tuple, got[["cell", "res"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["cell", "res"]].itertuples(index=False)))
+    assert len(g) == len(w) > 0
+    assert g == w
