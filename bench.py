@@ -331,6 +331,51 @@ def run_bench() -> dict:
 
         return paragraph_dedup(sf_dir, sep=" the ").count()
 
+    def rel_q2():
+        from rios_ray.pipelines.relational import q2_min_cost_supplier
+
+        return q2_min_cost_supplier(sf_dir).to_pandas()
+
+    def rel_q8():
+        from rios_ray.pipelines.relational import q8_market_share
+
+        return q8_market_share(sf_dir).to_pandas()
+
+    def rel_q9():
+        from rios_ray.pipelines.relational import q9_nation_profit
+
+        return q9_nation_profit(sf_dir).to_pandas()
+
+    def rel_q11():
+        from rios_ray.pipelines.relational import q11_important_parts
+
+        return q11_important_parts(sf_dir).count()
+
+    def rel_q15():
+        from rios_ray.pipelines.relational import q15_top_supplier
+
+        return q15_top_supplier(sf_dir).to_pandas()
+
+    def rel_q16():
+        from rios_ray.pipelines.relational import q16_supplier_counts
+
+        return q16_supplier_counts(sf_dir).count()
+
+    def rel_q19():
+        from rios_ray.pipelines.relational import q19_disjunctive_revenue
+
+        return q19_disjunctive_revenue(sf_dir).to_pandas()
+
+    def rel_q20():
+        from rios_ray.pipelines.relational import q20_excess_suppliers
+
+        return q20_excess_suppliers(sf_dir)
+
+    def compact():
+        from rios_ray.pipelines.spatial_ops import compact_cells
+
+        return compact_cells(sf_dir).count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "host_counts": hosts,
@@ -358,6 +403,16 @@ def run_bench() -> dict:
         "rel_q21": rel_q21,
         "rel_q13": rel_q13,
         "rel_q17": rel_q17,
+        # round 5: the suite-completing eight + cell compaction
+        "rel_q2": rel_q2,
+        "rel_q8": rel_q8,
+        "rel_q9": rel_q9,
+        "rel_q11": rel_q11,
+        "rel_q15": rel_q15,
+        "rel_q16": rel_q16,
+        "rel_q19": rel_q19,
+        "rel_q20": rel_q20,
+        "cell_compact": compact,
         "quality_weighted_sample": qw_sample,
         "token_percentile_rank": pct_rank,
         "events_value_mean": value_mean,
