@@ -580,6 +580,12 @@ def _q_cell_compact(sf_dir: str):
     return compact_cells(sf_dir)
 
 
+def _q_cell_band_math(sf_dir: str):
+    from rios_ray.pipelines.pages import cell_band_math
+
+    return cell_band_math(sf_dir)
+
+
 def _q_grid_dbscan(sf_dir: str):
     from rios_ray.pipelines.spatial_ops import grid_dbscan
 
@@ -1051,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q7_volume_shipping": _q_rel_q7,
         "cell_gradient": _q_cell_gradient,
         "cell_compact": _q_cell_compact,  # NEW round 5 (H3-compact analogue)
+        "cell_band_math": _q_cell_band_math,  # NEW round 5 (RIOS band math)
         "decontaminate": _q_decontaminate,
         "polygon_raster_cells": _q_polygon_raster_cells,
         # --- NEW round 4 (q13 join-free distribution, q17 correlated
@@ -1082,7 +1089,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "grid_dbscan": _q_grid_dbscan,
         "pip_join_left": _q_pip_join_left,
-        "host_crawl_sessions": _q_host_crawl_sessions,
         "doc_bigram_coverage": _q_doc_bigram_coverage,
         "media_image_ahash": _q_media_image_ahash,
         # ---------- entries below are outside the driver's 50-query window
@@ -1090,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- since their last witnessed round — round 5 rotated out
         # ---------- the nine listed in the policy note above, all green
         # ---------- in r03 and untouched since)
+        "host_crawl_sessions": _q_host_crawl_sessions,
         "events_window_anomalies": _q_events_anomalies,
         "events_range_join": _q_events_range_join,
         "rel_q12_priority_lines": _q_rel_q12,
@@ -2808,6 +2815,23 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_pip_pairs_sql()}) c
               JOIN read_parquet('{ppath}') p USING (poly_id)
              GROUP BY 1, 2
+        """,
+        # RIOS band math (round 5): per-cell category counts are the
+        # bands; diff exact BIGINT, ratio ONE shared IEEE division of
+        # two BIGINTs (never HUGEINT->DOUBLE)
+        "cell_band_math": f"""
+            WITH cc AS (
+                SELECT {_cell_sql()} AS cell, p.category, count(*) AS n_pages
+                  FROM ({_pip_pairs_sql()}) c
+                  JOIN read_parquet('{ppath}') p USING (poly_id)
+                 GROUP BY 1, 2
+            )
+            SELECT a.cell, a.n_pages AS n_a, b.n_pages AS n_b,
+                   a.n_pages - b.n_pages AS band_diff,
+                   CAST(a.n_pages AS DOUBLE) / CAST(b.n_pages AS DOUBLE)
+                       AS band_ratio
+              FROM cc a JOIN cc b ON a.cell = b.cell
+             WHERE a.category = 'world' AND b.category = 'quad'
         """,
         "cell_pages_capped": f"""
             SELECT cell, url FROM (

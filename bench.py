@@ -376,6 +376,11 @@ def run_bench() -> dict:
 
         return compact_cells(sf_dir).count()
 
+    def band_math():
+        from rios_ray.pipelines.pages import cell_band_math
+
+        return cell_band_math(sf_dir).to_pandas()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "host_counts": hosts,
@@ -413,6 +418,7 @@ def run_bench() -> dict:
         "rel_q19": rel_q19,
         "rel_q20": rel_q20,
         "cell_compact": compact,
+        "cell_band_math": band_math,
         "quality_weighted_sample": qw_sample,
         "token_percentile_rank": pct_rank,
         "events_value_mean": value_mean,

@@ -154,6 +154,57 @@ def flagship(sf_dir: str, grid_res: int = DEFAULT_GRID_RES) -> ray.data.Dataset:
                          final_mode="tree")
 
 
+def cell_band_math(
+    sf_dir: str,
+    cat_a: str = "world",
+    cat_b: str = "quad",
+    grid_res: int = DEFAULT_GRID_RES,
+) -> ray.data.Dataset:
+    """RIOS band-arithmetic analogue on the cell grid: treating each
+    polygon category's per-cell page count as a raster band, emit — for
+    every cell where BOTH bands are present — the exact integer counts,
+    their difference, and the band ratio as ONE shared IEEE division
+    (the applier's ``(b1 - b2) / b2``-style user function, reference
+    ``/root/reference/rios/applier.py`` user-fn examples, re-expressed
+    over the flagship's tiled counts).
+
+    Cost: the flagship aggregate itself; the pivot is one vectorized
+    pass over its tree-final block (cell x category is grid-bounded at
+    any corpus size, so the single-task pivot holds at 100 TB).
+    """
+    counts = flagship(sf_dir, grid_res=grid_res)
+
+    def pivot(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        cat = b["category"]
+        cells_np = b["cell"].to_numpy(zero_copy_only=False)
+        n = b["n_pages"].to_numpy(zero_copy_only=False)
+        ma = pc.equal(cat, cat_a).to_numpy(zero_copy_only=False)
+        mb = pc.equal(cat, cat_b).to_numpy(zero_copy_only=False)
+        ca, na = cells_np[ma], n[ma]
+        cb, nb = cells_np[mb], n[mb]
+        oa, ob = np.argsort(ca), np.argsort(cb)
+        ca, na, cb, nb = ca[oa], na[oa], cb[ob], nb[ob]
+        both, ia, ib = np.intersect1d(ca, cb, assume_unique=True,
+                                      return_indices=True)
+        na, nb = na[ia], nb[ib]
+        return pa.table({
+            "cell": pa.array(both),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nb),
+            "band_diff": pa.array(na - nb),
+            "band_ratio": pa.array(na.astype(np.float64)
+                                   / nb.astype(np.float64)),
+        })
+
+    # flagship's final is ONE tree block (grid-bounded), so a per-block
+    # pivot is global
+    return counts.map_batches(pivot, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+
 def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     """Exact kNN of every broadcast query point over all pages (task
     pool + per-worker query-matrix cache, see spatial_join)."""

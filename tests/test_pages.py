@@ -82,3 +82,34 @@ def test_host_crawl_sessions_vs_duckdb(ray_session):
         assert got[c].tolist() == want[c].tolist(), c
     assert (got.groupby("host")["session_id"].min() == 0).all()
     assert (got["n_pages"] > 1).any()  # gap actually groups on the fixture
+
+
+def test_cell_band_math_vs_duckdb(ray_session):
+    """RIOS band-math analogue: per-cell category counts as bands,
+    exact int diff + single-division ratio, vs the driver oracle."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["cell_band_math"](SF).to_pandas()
+    sql = entrymod.oracle_sql()["cell_band_math"].replace(
+        entrymod._pages_sql(), entrymod._pages_sql(SF)
+    )
+    want = duckdb.sql(sql).df()
+    assert len(got) == len(want) > 0
+    cols = ["cell", "n_a", "n_b", "band_diff", "band_ratio"]
+    g = got[cols].sort_values("cell").reset_index(drop=True)
+    w = want[cols].sort_values("cell").reset_index(drop=True)
+    for c in cols[:-1]:
+        assert g[c].tolist() == w[c].tolist(), c
+    assert np.array_equal(g["band_ratio"].to_numpy(),
+                          w["band_ratio"].to_numpy())  # bitwise
+    # internal consistency: the bands reconstruct the emitted math
+    assert (g["band_diff"] == g["n_a"] - g["n_b"]).all()
+    assert np.array_equal(g["band_ratio"].to_numpy(),
+                          g["n_a"].to_numpy() / g["n_b"].to_numpy())
