@@ -1030,7 +1030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green in r03, code untouched since): rat_derive, rat_derive_store,
     # knn_embeddings_ivf, knn_embeddings_pq, emb_neardup_lsh,
     # emb_neardup_clusters, events_range_join, rel_q12_priority_lines,
-    # events_window_anomalies.
+    # events_window_anomalies, host_crawl_sessions (its slot went to
+    # the r5 cell_band_math).
     return {
         # --- events (r3 window; quantiles/HLL/deltas touched r4) ---
         "events_sessions": _q_events_sessions,

@@ -185,8 +185,7 @@ def cell_band_math(
         mb = pc.equal(cat, cat_b).to_numpy(zero_copy_only=False)
         ca, na = cells_np[ma], n[ma]
         cb, nb = cells_np[mb], n[mb]
-        oa, ob = np.argsort(ca), np.argsort(cb)
-        ca, na, cb, nb = ca[oa], na[oa], cb[ob], nb[ob]
+        # intersect1d's return_indices works on unsorted unique inputs
         both, ia, ib = np.intersect1d(ca, cb, assume_unique=True,
                                       return_indices=True)
         na, nb = na[ia], nb[ib]

@@ -396,7 +396,7 @@ def q18_big_orders(
     """
     import pyarrow.compute as pc
 
-    from ..functions.agg import hash_grouped_aggregate, hash_partitioned_groups
+    from ..functions.agg import hash_grouped_aggregate
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1623,7 +1623,11 @@ def q15_top_supplier(
         partial_max, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     ).to_pandas()  # one row per block — bounded
-    best = int(maxes["m"].max())
+    # a window matching NO shipments yields a zero-block aggregate whose
+    # empty frame has no columns at all — the result is legitimately
+    # empty, matching the oracle's empty set
+    best = int(maxes["m"].max()) if "m" in maxes.columns and len(maxes) \
+        else None
 
     supp = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
@@ -1636,7 +1640,8 @@ def q15_top_supplier(
     def winners(b: pa.Table) -> pa.Table:
         sk_s, sname_s = ray.get(dims_ref)
         v = b["total_revenue_cents"].to_numpy(zero_copy_only=False)
-        b = b.filter(pa.array(v == best))
+        b = b.filter(pa.array(v == best if best is not None
+                              else np.zeros(len(v), bool)))
         sp, _ = _sorted_lookup(sk_s, b["s_suppkey"].to_numpy(zero_copy_only=False))
         return pa.table({
             "s_suppkey": b["s_suppkey"],
@@ -1755,6 +1760,8 @@ def q19_disjunctive_revenue(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_brand", "p_size"],
     )
+    if len(bundles) > 8:
+        raise ValueError("q19: at most 8 predicate bundles (uint8 bitmask)")
     brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)
     size = part["p_size"].to_numpy()
     mask = np.zeros(part.num_rows, dtype=np.uint8)
@@ -1770,7 +1777,8 @@ def q19_disjunctive_revenue(
         pk_sorted, mask_s = ray.get(dims_ref)
         pkv = b["l_partkey"].to_numpy(zero_copy_only=False)
         pp, pfound = _sorted_lookup(pk_sorted, pkv)
-        m = np.where(pfound, mask_s[pp], 0)
+        m = np.zeros(len(pkv), dtype=np.uint8)  # gather only found rows:
+        m[pfound] = mask_s[pp[pfound]]  # mask_s may be EMPTY (no part hit)
         qty = b["l_quantity"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(qty), dtype=bool)
         for i, (qlo, qhi) in enumerate(qty_ranges):

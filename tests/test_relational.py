@@ -530,3 +530,27 @@ def test_q20_dominators(ray_session, con):
     assert len(got) == len(want) > 0
     assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
     assert got["s_name"].tolist() == want["s_name"].tolist()
+
+
+def test_q19_empty_part_filter_and_bundle_cap(ray_session, con):
+    """bundles matching zero parts must yield the 0-revenue row (not
+    IndexError on the empty broadcast mask); >8 bundles must refuse
+    (uint8 bitmask), not silently drop bits (code-review r5)."""
+    got = R.q19_disjunctive_revenue(
+        SF, bundles=(("Brand#NOPE", 1, 5, 1, 11),)
+    ).to_pandas()
+    assert got["revenue_cents"].tolist() == [0]
+    assert got["n_lines"].tolist() == [0]
+    with pytest.raises(ValueError, match="at most 8"):
+        R.q19_disjunctive_revenue(
+            SF, bundles=tuple(("Brand#1", 1, 50, 0, 100) for _ in range(9))
+        )
+
+
+def test_q15_empty_window(ray_session):
+    """a date window with no shipments is a legitimately-empty result,
+    not a KeyError on the zero-block aggregate (code-review r5)."""
+    got = R.q15_top_supplier(
+        SF, date_from="1990-01-01", date_to="1990-02-01"
+    ).to_pandas()
+    assert len(got) == 0
