@@ -81,6 +81,18 @@ def grid_parent(cell_id: np.ndarray, res: int) -> np.ndarray:
     return (cy >> 1) * (2 << (res - 1)) + (cx >> 1)
 
 
+def grid_children(cell_id: np.ndarray, res: int) -> np.ndarray:
+    """The 4 children of each cell one resolution finer — the exact
+    inverse of ``grid_parent`` (``grid_parent(grid_children(c, r),
+    r + 1) == repeat(c, 4)``).  Returns the children interleaved in
+    (dy, dx) row-major order, shape ``(4 * len(cell_id),)``."""
+    nxc = 2 << (res + 1)
+    cy, cx = grid_cell_yx(cell_id, res)
+    base = (2 * cy) * nxc + 2 * cx
+    offsets = np.array([0, 1, nxc, nxc + 1], dtype=np.int64)
+    return (base[:, None] + offsets[None, :]).reshape(-1)
+
+
 def grid_cell_ring(cell_id: int, res: int, ring: int) -> np.ndarray:
     """Cell ids at exactly ``ring`` Chebyshev distance from ``cell_id``.
 

@@ -606,3 +606,31 @@ def compact_cells(
         })
 
     return hash_partitioned_groups(tagged, ["_anc"], compact)
+
+
+def uncompact_cells(
+    ds: ray.data.Dataset, res: int = DEFAULT_GRID_RES
+) -> ray.data.Dataset:
+    """Inverse of ``compact_cells``: expand a mixed-resolution
+    ``(cell, res)`` cover back to uniform resolution ``res`` cells —
+    H3's ``uncompact``.  Pure per-batch bit math (``cells.
+    grid_children``), embarrassingly parallel, output exactly the
+    occupied set the compaction started from (property-tested round
+    trip)."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        r = b["res"].to_numpy(zero_copy_only=False)
+        out = []
+        for rv in np.unique(r):
+            if rv > res:
+                raise ValueError(f"cover holds res {rv} finer than target {res}")
+            cur = cell[r == rv]
+            for level in range(int(rv), res):
+                cur = C.grid_children(cur, level)
+            out.append(cur)
+        flat = np.concatenate(out) if out else np.zeros(0, np.int64)
+        return pa.table({"cell": pa.array(flat, type=pa.int64())})
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

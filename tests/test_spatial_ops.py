@@ -517,3 +517,24 @@ def test_compact_cells_vs_duckdb(ray_session):
     w = sorted(map(tuple, want[["cell", "res"]].itertuples(index=False)))
     assert len(g) == len(w) > 0
     assert g == w
+
+
+def test_uncompact_round_trip(ray_session):
+    """uncompact(compact(occupied)) == occupied, via the library
+    grid_children inverse (and grid_parent(grid_children) == identity)."""
+    from rios_ray.pipelines.pages import geocoded_pages
+    from rios_ray.pipelines.spatial_ops import compact_cells, uncompact_cells
+
+    res = 7
+    occupied = np.unique(
+        geocoded_pages(SF, keep_text=False, grid_res=res, families=("grid",))
+        .select_columns(["cell"]).to_pandas()["cell"].to_numpy()
+    )
+    back = uncompact_cells(compact_cells(SF, res=res, res_min=5), res=res
+                           ).to_pandas()["cell"].to_numpy()
+    assert len(back) == len(np.unique(back))
+    assert np.array_equal(np.sort(back), occupied)
+    # grid_children is the exact inverse of grid_parent
+    c = occupied[:64]
+    kids = cells.grid_children(c, res)
+    assert np.array_equal(cells.grid_parent(kids, res + 1), np.repeat(c, 4))
