@@ -610,6 +610,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(sf_dir, n=5)
 
 
+def _q_bigram_pmi(sf_dir: str):
+    from rios_ray.pipelines.text import bigram_pmi
+
+    return bigram_pmi(sf_dir)
+
+
 def _q_bigram_lm(sf_dir: str):
     from rios_ray.pipelines.text import bigram_lm
 
@@ -1031,11 +1037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # knn_embeddings_ivf, knn_embeddings_pq, emb_neardup_lsh,
     # emb_neardup_clusters, events_range_join, rel_q12_priority_lines,
     # events_window_anomalies, host_crawl_sessions (its slot went to
-    # the r5 cell_band_math).
+    # the r5 cell_band_math), events_top_users_per_window (slot went to
+    # the r5 bigram_pmi).
     return {
         # --- events (r3 window; quantiles/HLL/deltas touched r4) ---
         "events_sessions": _q_events_sessions,
-        "events_top_users_per_window": _q_events_top_users,
         "events_value_quantiles": _q_events_value_quantiles,
         "events_quantiles_sketch": _q_events_quantiles_sketch,
         "events_value_deltas": _q_events_value_deltas,
@@ -1085,7 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         # --- (c) new this round ---
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "bigram_lm": _q_bigram_lm,
+        "bigram_lm": _q_bigram_lm,  # r5-touched (shared combiner refactor)
+        "bigram_pmi": _q_bigram_pmi,  # NEW round 5
         "events_rolling_extrema": _q_events_rolling_extrema,
         "emb_kmeans_assign": _q_emb_kmeans_assign,
         "grid_dbscan": _q_grid_dbscan,
@@ -1097,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- since their last witnessed round — round 5 rotated out
         # ---------- the nine listed in the policy note above, all green
         # ---------- in r03 and untouched since)
+        "events_top_users_per_window": _q_events_top_users,
         "host_crawl_sessions": _q_host_crawl_sessions,
         "events_window_anomalies": _q_events_anomalies,
         "events_range_join": _q_events_range_join,
@@ -1601,6 +1609,29 @@ def _text_oracle_sql() -> dict[str, str]:
             SELECT p.w1, p.w2, p.pair_n, c.w1_n,
                    p.pair_n * 1.0 / c.w1_n AS cond_p
               FROM p JOIN c USING (w1)
+             WHERE p.pair_n >= 5
+        """,
+        # PMI (round 5): counts exact BIGINT; lift is ONE division of
+        # two exact integer products (both < 2**63 here); the engine
+        # computes pmi with libm math.log to match DuckDB's ln exactly
+        # (numpy's SIMD log is <1 ulp off on some values)
+        "bigram_pmi": """
+            WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            t AS (SELECT doc_id, unnest(l) AS w,
+                         generate_subscripts(l, 1) AS i FROM s),
+            bg AS (SELECT a.w AS w1, b.w AS w2
+                     FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+                    FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS w1_n FROM p GROUP BY w1),
+            c2 AS (SELECT w2, CAST(sum(pair_n) AS BIGINT) AS w2_n FROM p GROUP BY w2),
+            n AS (SELECT CAST(sum(pair_n) AS BIGINT) AS total_n FROM p)
+            SELECT p.w1, p.w2, p.pair_n, c1.w1_n, c2.w2_n, n.total_n,
+                   CAST(p.pair_n * n.total_n AS DOUBLE)
+                     / CAST(c1.w1_n * c2.w2_n AS DOUBLE) AS lift,
+                   ln(CAST(p.pair_n * n.total_n AS DOUBLE)
+                      / CAST(c1.w1_n * c2.w2_n AS DOUBLE)) AS pmi
+              FROM p JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
              WHERE p.pair_n >= 5
         """,
         "decontaminate": _decontaminate_sql(),

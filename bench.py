@@ -381,6 +381,11 @@ def run_bench() -> dict:
 
         return cell_band_math(sf_dir).to_pandas()
 
+    def pmi():
+        from rios_ray.pipelines.text import bigram_pmi
+
+        return bigram_pmi(sf_dir).count()
+
     all_queries = {
         "geocode_cells": lambda: geocoded_pages(sf_dir, keep_text=False).count(),
         "host_counts": hosts,
@@ -419,6 +424,7 @@ def run_bench() -> dict:
         "rel_q20": rel_q20,
         "cell_compact": compact,
         "cell_band_math": band_math,
+        "bigram_pmi": pmi,
         "quality_weighted_sample": qw_sample,
         "token_percentile_rank": pct_rank,
         "events_value_mean": value_mean,

@@ -1024,6 +1024,40 @@ def tfidf_top_terms(sf_dir: str, n: int = 5) -> ray.data.Dataset:
     return hash_partitioned_groups(joined, ["doc_id"], rank_topn)
 
 
+def _local_bigram_counts(b: "pa.Table"):
+    """Batch-local bigram combiner: vectorized boundary-masked shift
+    over the batch's flat token array (no per-doc loop), pre-counted to
+    distinct (w1, w2) before the keyed exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    df = b.to_pandas()
+    tok = df["text"].str.split(" ")
+    lens = tok.str.len().to_numpy().astype(np.int64)
+    if lens.sum() == 0:
+        return pa.table({"w1": pa.array([], type=pa.string()),
+                         "w2": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    flat = np.concatenate(tok.to_numpy())
+    keep = np.ones(len(flat), dtype=bool)
+    keep[np.cumsum(lens) - 1] = False  # last token of each doc
+    idx = np.flatnonzero(keep)
+    pairs = (
+        pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
+        .groupby(["w1", "w2"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    return pa.table(
+        {
+            "w1": pa.array(pairs["w1"], type=pa.string()),
+            "w2": pa.array(pairs["w2"], type=pa.string()),
+            "n": pa.array(pairs["n"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 def bigram_lm(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     """Bigram language-model training counts over whitespace tokens:
     (w1, w2, pair_n, w1_n, cond_p) with cond_p = pair_n / w1_n — the
@@ -1038,41 +1072,14 @@ def bigram_lm(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     one exact-int division, so it hash-compares bitwise vs the oracle.
     """
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from ..functions.agg import hash_grouped_aggregate
     from ..functions.join import auto_lookup_join
 
-    def local_pairs(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        tok = df["text"].str.split(" ")
-        lens = tok.str.len().to_numpy().astype(np.int64)
-        if lens.sum() == 0:
-            return pa.table({"w1": pa.array([], type=pa.string()),
-                             "w2": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
-        flat = np.concatenate(tok.to_numpy())
-        keep = np.ones(len(flat), dtype=bool)
-        keep[np.cumsum(lens) - 1] = False  # last token of each doc
-        idx = np.flatnonzero(keep)
-        pairs = (
-            pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
-            .groupby(["w1", "w2"], sort=False)
-            .size()
-            .reset_index(name="n")
-        )
-        return pa.table(
-            {
-                "w1": pa.array(pairs["w1"], type=pa.string()),
-                "w2": pa.array(pairs["w2"], type=pa.string()),
-                "n": pa.array(pairs["n"].to_numpy(), type=pa.int64()),
-            }
-        )
-
     ds = read_documents(sf_dir, columns=["text"]).map_batches(
-        local_pairs, batch_format="pyarrow", zero_copy_batch=True,
+        _local_bigram_counts, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=BATCH_SIZE,
     )
     pairs = hash_grouped_aggregate(
@@ -1292,3 +1299,93 @@ def _bigram_coverage_partitioned(sf_dir: str, lm, pair_key) -> ray.data.Dataset:
         finish, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
+    """Pointwise mutual information of adjacent token pairs:
+    (w1, w2, pair_n, w1_n, w2_n, total_n, lift, pmi) over pairs with
+    ``pair_n >= min_count`` — the classic collocation / association
+    scorer a phrase-mining pass runs over a corpus.
+
+    Exactness: all four counts are exact int64; ``lift =
+    (pair_n * total_n) / (w1_n * w2_n)`` is ONE IEEE division of two
+    exact integer products, so it hash-compares bitwise vs the SQL
+    oracle; ``pmi = ln(lift)`` is computed with libm ``math.log`` (the
+    same correctly-rounded log DuckDB's ``ln`` calls) because numpy's
+    SIMD log is <1 ulp but not identical — measured mismatches on this
+    corpus.  The integer products stay below 2**63 while
+    ``pair_n * total_n`` does — at larger corpus scales emit only the
+    counts and divide downstream in extended precision.
+
+    Scale shape: one batch-combined pair exchange, two tiny total
+    aggregates over the already-aggregated pair table, two
+    strategy-selecting joins to attach the marginals, a bounded
+    per-block partial sum for the global total.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.agg import hash_grouped_aggregate
+    from ..functions.join import auto_lookup_join
+
+    ds = read_documents(sf_dir, columns=["text"]).map_batches(
+        _local_bigram_counts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=BATCH_SIZE,
+    )
+    pairs = hash_grouped_aggregate(
+        ds, ["w1", "w2"], [("n", "sum", "pair_n")]
+    ).materialize()  # consumed 4x: two marginals, the total, the left side
+
+    w1_tot = hash_grouped_aggregate(pairs, ["w1"], [("pair_n", "sum", "w1_n")])
+    w2_tot = hash_grouped_aggregate(pairs, ["w2"], [("pair_n", "sum", "w2_n")])
+
+    def partial_total(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(b["pair_n"].to_numpy(zero_copy_only=False).sum())],
+            type=pa.int64())})
+
+    totals = pairs.map_batches(
+        partial_total, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()  # one row per block — bounded
+    total_n = int(totals["t"].sum())
+
+    j1 = auto_lookup_join(
+        pairs, w1_tot, "w1", "w1",
+        [("w1", pa.string()), ("w2", pa.string()), ("pair_n", pa.int64())],
+        [("w1_n", pa.int64(), "w1_n")],
+    )
+    j2 = auto_lookup_join(
+        j1, w2_tot, "w2", "w2",
+        [("w1", pa.string()), ("w2", pa.string()), ("pair_n", pa.int64()),
+         ("w1_n", pa.int64())],
+        [("w2_n", pa.int64(), "w2_n")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["pair_n"], min_count))
+        pn = b["pair_n"].to_numpy(zero_copy_only=False)
+        w1n = b["w1_n"].to_numpy(zero_copy_only=False)
+        w2n = b["w2_n"].to_numpy(zero_copy_only=False)
+        num = pn * total_n
+        den = w1n * w2n
+        lift = num.astype(np.float64) / den.astype(np.float64)
+        # libm log, not np.log: numpy's SIMD log is <1 ulp but NOT the
+        # correctly-rounded glibc log DuckDB's ln uses — measured
+        # mismatches on this corpus.  The loop runs over the AGGREGATED
+        # pair table (bounded), not the corpus scan.
+        import math
+
+        pmi = np.fromiter((math.log(x) for x in lift), dtype=np.float64,
+                          count=len(lift))
+        return pa.table({
+            "w1": b["w1"], "w2": b["w2"], "pair_n": b["pair_n"],
+            "w1_n": b["w1_n"], "w2_n": b["w2_n"],
+            "total_n": pa.array(np.full(len(pn), total_n, dtype=np.int64)),
+            "lift": pa.array(lift),
+            "pmi": pa.array(pmi),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=BATCH_SIZE)

