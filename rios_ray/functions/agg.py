@@ -499,3 +499,42 @@ def grouped_exact_float_sum(
 
     return hash_partitioned_groups(parts, keys, merge,
                                    num_partitions=num_partitions)
+
+
+def global_int_sum(ds, col: str) -> int:
+    """Driver-side exact global sum of an int64 column: one-row
+    per-block partials, pulled to the driver (bounded by block count).
+    A zero-block dataset (possible after an empty keyed exchange — its
+    empty frame has no columns at all) sums to 0, not KeyError."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array(
+            [int(b[col].to_numpy(zero_copy_only=False).sum())],
+            type=pa.int64())})
+
+    t = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).to_pandas()
+    return int(t["t"].sum()) if "t" in t.columns and len(t) else 0
+
+
+def global_int_max(ds, col: str) -> int | None:
+    """Driver-side exact global max of an int64 column (same bounded
+    per-block-partial shape as :func:`global_int_sum`).  Returns None
+    on an empty/zero-block dataset."""
+    import numpy as np
+    import pyarrow as pa
+
+    sentinel = np.iinfo(np.int64).min
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        m = int(v.max()) if len(v) else sentinel
+        return pa.table({"m": pa.array([m], type=pa.int64())})
+
+    t = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).to_pandas()
+    if "m" not in t.columns or not len(t):
+        return None
+    best = int(t["m"].max())
+    return None if best == sentinel else best

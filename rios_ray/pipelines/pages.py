@@ -198,10 +198,13 @@ def cell_band_math(
                                    / nb.astype(np.float64)),
         })
 
-    # flagship's final is ONE tree block (grid-bounded), so a per-block
-    # pivot is global
-    return counts.map_batches(pivot, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
+    # the pivot needs BOTH bands of a cell in one batch: repartition(1)
+    # makes that invariant local (today it is a no-op — flagship's tree
+    # final already emits one grid-bounded block — but this no longer
+    # depends on flagship's final_mode from another module)
+    return counts.repartition(1).map_batches(
+        pivot, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
 
 
 def knn_pages(sf_dir: str, k: int = 10) -> ray.data.Dataset:

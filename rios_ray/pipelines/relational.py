@@ -1562,16 +1562,9 @@ def q11_important_parts(
         li, ["l_partkey"], [("rev_cents", "sum", "value_cents")]
     ).materialize()
 
-    def partial_total(b: pa.Table) -> pa.Table:
-        return pa.table({"t": pa.array(
-            [int(b["value_cents"].to_numpy(zero_copy_only=False).sum())],
-            type=pa.int64())})
+    from ..functions.agg import global_int_sum
 
-    totals = per_part.map_batches(
-        partial_total, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).to_pandas()  # one row per block — bounded
-    total = int(totals["t"].sum())
+    total = global_int_sum(per_part, "value_cents")
     thr = (total * fraction_num) // fraction_den + 1  # exact int threshold
 
     def keep(b: pa.Table) -> pa.Table:
@@ -1614,20 +1607,11 @@ def q15_top_supplier(
         li, ["s_suppkey"], [("rev_cents", "sum", "total_revenue_cents")]
     ).materialize()
 
-    def partial_max(b: pa.Table) -> pa.Table:
-        v = b["total_revenue_cents"].to_numpy(zero_copy_only=False)
-        m = int(v.max()) if len(v) else np.iinfo(np.int64).min
-        return pa.table({"m": pa.array([m], type=pa.int64())})
+    from ..functions.agg import global_int_max
 
-    maxes = per_supp.map_batches(
-        partial_max, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).to_pandas()  # one row per block — bounded
-    # a window matching NO shipments yields a zero-block aggregate whose
-    # empty frame has no columns at all — the result is legitimately
-    # empty, matching the oracle's empty set
-    best = int(maxes["m"].max()) if "m" in maxes.columns and len(maxes) \
-        else None
+    # None when the window matches NO shipments (zero-block aggregate):
+    # the result is legitimately empty, matching the oracle's empty set
+    best = global_int_max(per_supp, "total_revenue_cents")
 
     supp = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
@@ -1756,12 +1740,12 @@ def q19_disjunctive_revenue(
     the scan evaluates all disjuncts in 3 vector ops per bundle and the
     global sum is the q6 zero-exchange scalar shape.
     """
+    if len(bundles) > 8:
+        raise ValueError("q19: at most 8 predicate bundles (uint8 bitmask)")
     part = pq.read_table(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_brand", "p_size"],
     )
-    if len(bundles) > 8:
-        raise ValueError("q19: at most 8 predicate bundles (uint8 bitmask)")
     brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)
     size = part["p_size"].to_numpy()
     mask = np.zeros(part.num_rows, dtype=np.uint8)

@@ -1340,16 +1340,9 @@ def bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
     w1_tot = hash_grouped_aggregate(pairs, ["w1"], [("pair_n", "sum", "w1_n")])
     w2_tot = hash_grouped_aggregate(pairs, ["w2"], [("pair_n", "sum", "w2_n")])
 
-    def partial_total(b: pa.Table) -> pa.Table:
-        return pa.table({"t": pa.array(
-            [int(b["pair_n"].to_numpy(zero_copy_only=False).sum())],
-            type=pa.int64())})
+    from ..functions.agg import global_int_sum
 
-    totals = pairs.map_batches(
-        partial_total, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    ).to_pandas()  # one row per block — bounded
-    total_n = int(totals["t"].sum())
+    total_n = global_int_sum(pairs, "pair_n")  # 0 on a bigram-less corpus
 
     j1 = auto_lookup_join(
         pairs, w1_tot, "w1", "w1",
@@ -1368,6 +1361,13 @@ def bigram_pmi(sf_dir: str, min_count: int = 5) -> ray.data.Dataset:
         pn = b["pair_n"].to_numpy(zero_copy_only=False)
         w1n = b["w1_n"].to_numpy(zero_copy_only=False)
         w2n = b["w2_n"].to_numpy(zero_copy_only=False)
+        if len(pn) and (int(pn.max()) * total_n >= 2 ** 63
+                        or int(w1n.max()) * int(w2n.max()) >= 2 ** 63):
+            # enforce the documented int64 boundary LOUDLY — numpy
+            # multiplication would wrap silently where the oracle raises
+            raise OverflowError(
+                "bigram_pmi: integer products exceed int64; emit counts "
+                "only and divide downstream in extended precision")
         num = pn * total_n
         den = w1n * w2n
         lift = num.astype(np.float64) / den.astype(np.float64)
