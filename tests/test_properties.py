@@ -252,3 +252,45 @@ def test_exact_float_sum_property(vals):
         for e, m in dd.items():
             merged[e] = merged.get(e, 0) + m
     assert struct.pack("<d", _buckets_to_float(merged)) == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 7) * (2 << 7) - 1),
+             min_size=0, max_size=200, unique=True),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=100, deadline=None)
+def test_grid_children_inverts_parent(cells_list, res):
+    """grid_parent(grid_children(c, r), r+1) == repeat(c, 4) for every
+    cell valid at res r (round-5 compact/uncompact contract)."""
+    from rios_ray.cells import grid_children, grid_parent
+
+    ny, nx = 1 << res, 2 << res
+    c = np.array([v for v in cells_list if v < ny * nx], dtype=np.int64)
+    kids = grid_children(c, res)
+    assert len(kids) == 4 * len(c)
+    assert np.array_equal(grid_parent(kids, res + 1), np.repeat(c, 4))
+    # children are distinct and valid at res+1
+    assert len(np.unique(kids)) == len(kids)
+    if len(kids):
+        assert kids.min() >= 0 and kids.max() < (1 << (res + 1)) * (2 << (res + 1))
+
+
+@given(
+    st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=0,
+             max_size=50, unique=True),
+    st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=0,
+             max_size=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_sorted_lookup_matches_isin(keys, probe):
+    """_sorted_lookup's found mask == np.isin, and found positions point
+    at the probed key (round-5 broadcast-dimension contract)."""
+    from rios_ray.pipelines.relational import _sorted_lookup
+
+    ks = np.sort(np.array(keys, dtype=np.int64))
+    pr = np.array(probe, dtype=np.int64)
+    pos, found = _sorted_lookup(ks, pr)
+    assert np.array_equal(found, np.isin(pr, ks))
+    if found.any():
+        assert np.array_equal(ks[pos[found]], pr[found])

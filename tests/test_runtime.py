@@ -85,3 +85,23 @@ def test_lineage_record_is_json(tmp_path):
     with open(os.path.join(m.dir, "x.json")) as f:
         d = json.load(f)
     assert d["extra"] == {"k": "v"}
+
+
+def test_global_int_sum_and_max(ray_session):
+    """driver-side global sum/max helpers: exact values, zero-block
+    safety (the empty frame of a zero-block dataset has no columns)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rios_ray.functions.agg import global_int_max, global_int_sum
+
+    vals = np.array([5, -3, 7, 0, 11], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    assert global_int_sum(ds, "v") == int(vals.sum())
+    assert global_int_max(ds, "v") == int(vals.max())
+
+    # an all-filtered (possibly zero-block) dataset
+    empty = ds.filter(lambda r: False)
+    assert global_int_sum(empty, "v") == 0
+    assert global_int_max(empty, "v") is None
